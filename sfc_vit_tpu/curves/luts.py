@@ -53,12 +53,15 @@ def _coords_cached(name: str, width: int, height: int) -> np.ndarray:
     if name == "onion":
         # The tokenizers use the direct spiral walk, not embed-and-prune
         # (whose onion path yields duplicate cells -- see generalize.py).
-        return onion_cells(height, width)[:, ::-1].copy()
+        # onion_cells already returns (row, col) in the (i, j) convention.
+        return onion_cells(height, width)
     if name == "raster":
+        # Row-major (row, col) enumeration, so flat/pixel LUTs are the
+        # identity -- the reference raster baselines apply *no* reorder
+        # (``_1D/zigzag_embedding1D.py:31-39``, ``multiscale/multi_zigzag.py``).
         n = width * height
         flat = np.arange(n, dtype=np.int32)
-        # row-major over (row=j, col=i) with (i, j) = (col, row) convention
-        return np.stack([flat % width, flat // width], axis=1).astype(np.int32)
+        return np.stack([flat // width, flat % width], axis=1).astype(np.int32)
     cells = embed_and_prune_sfc(CURVE_REGISTRY[name], width, height)
     return np.asarray(cells, dtype=np.int32)
 
