@@ -1,0 +1,270 @@
+"""Model building blocks, family A (torch-style semantics).
+
+Parity-faithful flax implementations of the reference's ``src/models/
+vit.py`` components: the post-norm torch ``nn.TransformerEncoderLayer``
+stack (relu activation, eps 1e-5 -- the torch defaults the reference
+relies on), the channel-mix-only MixerBlock, the Kronecker-factorized
+head, and the TokenAggregator.  Attention routes through
+``sfc_vit_tpu.ops.attention`` so the Pallas flash kernel is a drop-in.
+
+Reference bugs fixed (documented divergences, SURVEY.md section 2c):
+  * ``MixerBlock`` arity: the reference's ``MultiLayerPredictor(mix=True)``
+    passes 3 of 4 required args (``vit.py:301``) -> TypeError; here
+    ``out_dim`` defaults to ``embed_dim``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+
+__all__ = [
+    "TokenAggregator",
+    "TorchMultiHeadAttention",
+    "TorchTransformerEncoderLayer",
+    "TransformerSeqEncoder",
+    "MixerBlock",
+    "FactorisedLinear",
+    "MultiLayerPredictor",
+]
+
+
+class TokenAggregator(nn.Module):
+    """Depthwise-separable Conv1d over the token axis (localformer-style).
+
+    Reference: ``vit.py:20-42`` (defined but disabled in the stock
+    models; kept as an opt-in component).
+    """
+
+    dim: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, N, D]
+        # flax Conv is NLC-native: convolve over N with feature groups.
+        x = nn.Conv(
+            features=self.dim,
+            kernel_size=(self.kernel,),
+            strides=(self.stride,),
+            padding=[(self.kernel // 2, self.kernel // 2)],
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="dw",
+        )(x)
+        x = nn.Conv(
+            features=self.dim, kernel_size=(1,), dtype=self.dtype, name="pw"
+        )(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(
+            nn.gelu(x, approximate=False)
+        )
+
+
+class TorchMultiHeadAttention(nn.Module):
+    """Packed-QKV multi-head self-attention, torch ``nn.MultiheadAttention``
+    parameterization (in_proj [D,3D] + out_proj), so reference weights map
+    one-to-one for parity tests."""
+
+    dim: int
+    n_heads: int
+    dropout_rate: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        d = self.dim
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, n, _ = q.shape
+        dh = d // self.n_heads
+        q = q.reshape(b, n, self.n_heads, dh)
+        k = k.reshape(b, n, self.n_heads, dh)
+        v = v.reshape(b, n, self.n_heads, dh)
+        out = multi_head_attention(q, k, v, implementation=self.attn_impl)
+        out = out.reshape(b, n, d)
+        if self.dropout_rate > 0.0:
+            out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+
+
+class TorchTransformerEncoderLayer(nn.Module):
+    """Post-norm encoder layer matching torch ``nn.TransformerEncoderLayer``
+    defaults (relu, dropout 0.1, LayerNorm eps 1e-5, norm_first=False),
+    which the reference uses at ``vit.py:197-203``:
+        x = norm1(x + Dropout(SelfAttn(x)))
+        x = norm2(x + Dropout(Linear2(Dropout(relu(Linear1(x))))))
+    """
+
+    dim: int
+    n_heads: int
+    hidden_dim: int
+    dropout_rate: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        attn = TorchMultiHeadAttention(
+            dim=self.dim,
+            n_heads=self.n_heads,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="self_attn",
+        )(x, deterministic=deterministic)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
+
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + h)
+
+
+class TransformerSeqEncoder(nn.Module):
+    """Stack of post-norm encoder layers.
+
+    Reference: ``TransformerSeqEncoder`` (``vit.py:177-242``).  The stock
+    reference applies no CLS token and no positional embedding (all
+    commented out, ``vit.py:207-219``); positional encodings live in
+    ``models/posemb.py`` and are applied by the model wrappers instead.
+    """
+
+    dim: int
+    n_heads: int
+    hidden_dim: int
+    n_layers: int = 1
+    dropout_rate: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        for i in range(self.n_layers):
+            x = TorchTransformerEncoderLayer(
+                dim=self.dim,
+                n_heads=self.n_heads,
+                hidden_dim=self.hidden_dim,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"layer_{i}",
+            )(x, deterministic=deterministic)
+        return x
+
+
+class MixerBlock(nn.Module):
+    """MLP-Mixer block, channel-mix branch only.
+
+    Reference ``vit.py:250-273``: the token-mixing branch is commented
+    out, so the active computation is ``x + channel_mix(LN(x))``.  The
+    token-mix parameters are still created (as in the reference) but kept
+    optional here via ``with_token_mix_params``.
+    """
+
+    seq_len: int
+    embed_dim: int
+    hidden_dim: int
+    out_dim: Optional[int] = None  # reference bug fix: defaults to embed_dim
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, N, D]
+        out_dim = self.out_dim if self.out_dim is not None else self.embed_dim
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="channel_mix_ln")(x)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="channel_mix_0")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(out_dim, dtype=self.dtype, name="channel_mix_1")(h)
+        return x + h
+
+
+class FactorisedLinear(nn.Module):
+    """Kronecker-factorized head: [B, N, D] -> [B, out].
+
+    ``y = einsum('bnr,onr->bo', einsum('bnd,rd->bnr', x, W_emb), W_seq)``
+    -- reference ``vit.py:276-292`` (xavier-normal init preserved).
+    """
+
+    seq_len: int
+    embed_dim: int
+    rank: int
+    out_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w_emb = self.param(
+            "W_emb",
+            nn.initializers.xavier_normal(),
+            (self.rank, self.embed_dim),
+        )
+        w_seq = self.param(
+            "W_seq",
+            nn.initializers.xavier_normal(batch_axis=(0,)),
+            (self.out_dim, self.seq_len, self.rank),
+        )
+        h = jnp.einsum("bnd,rd->bnr", x, w_emb.astype(x.dtype))
+        return jnp.einsum("bnr,onr->bo", h, w_seq.astype(x.dtype))
+
+
+class MultiLayerPredictor(nn.Module):
+    """Classification head: LN (or MixerBlock) -> FactorisedLinear ->
+    GELU -> Dropout -> [hidden Linears] -> Linear(num_classes).
+
+    Reference ``vit.py:295-319``.  ``mix=True`` uses the (fixed)
+    MixerBlock front end.
+    """
+
+    embed_dim: int
+    seq_len: int
+    n_layers: int = 2
+    rank: int = 64
+    dropout_rate: float = 0.5
+    num_classes: int = 10
+    mix: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        if self.mix:
+            x = MixerBlock(
+                seq_len=self.seq_len,
+                embed_dim=self.embed_dim,
+                hidden_dim=self.embed_dim * 2,
+                dtype=self.dtype,
+                name="mixer",
+            )(x)
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        h = FactorisedLinear(
+            seq_len=self.seq_len,
+            embed_dim=self.embed_dim,
+            rank=self.rank,
+            out_dim=self.embed_dim * 2,
+            dtype=self.dtype,
+            name="fact",
+        )(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        prev = self.embed_dim * 2
+        for i in range(self.n_layers - 2):
+            prev //= 2
+            h = nn.Dense(prev, dtype=self.dtype, name=f"hidden_{i}")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="out")(h)

@@ -1,0 +1,218 @@
+"""Family B models: the reference ``src/models/altvit.py`` architectures.
+
+Pre-norm ViT stack (vit-pytorch style): ``SimpleViT`` (raster baseline
+with sin/cos 1-D positional table, mean-pool head, ``altvit.py:163-205``)
+and ``HilbertViT`` (curve-ordered patches + GFPE positional encoding,
+``altvit.py:208-268``).  Generalized so any registered curve can be used
+where the reference hard-codes Hilbert.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..curves import flat_lut
+from ..tokenizers.embeddings import curve_gather, patchify
+from .posemb import gfpe, sincos_1d
+from ..ops.attention import multi_head_attention
+
+__all__ = ["CurvePatchEmbedding", "PreNormTransformer", "SimpleViT", "CurveViT", "HilbertViT"]
+
+
+class CurvePatchEmbedding(nn.Module):
+    """Patchify -> curve gather -> LN -> Linear -> LN.
+
+    Reference ``HilbertPatchEmbedding`` (``altvit.py:46-99``), curve
+    generalized.  Requires a square power-of-2 grid for hilbert/moore/z
+    (mirrors the reference assertion, ``altvit.py:54-55``).
+    """
+
+    image_size: int
+    patch_size: int
+    dim: int
+    curve: str = "hilbert"
+    dtype: Optional[jnp.dtype] = None
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def n_patches(self) -> int:
+        return self.grid_size ** 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = self.grid_size
+        if self.curve in ("hilbert", "moore", "z", "morton"):
+            assert g & (g - 1) == 0, (
+                f"{self.curve} requires a square power-of-2 grid, got {g}"
+            )
+        x = patchify(x, self.patch_size)
+        if self.curve != "raster":
+            x = curve_gather(x, flat_lut(self.curve, g))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_out")(x)
+
+
+class _PreNormAttention(nn.Module):
+    """LN -> QKV (no bias) -> softmax attention -> out proj (no bias).
+
+    Reference ``Attention`` (``altvit.py:116-142``); inner dim =
+    heads * dim_head may exceed the model dim.
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, n, _ = q.shape
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, n, self.heads, self.dim_head)
+        v = v.reshape(b, n, self.heads, self.dim_head)
+        out = multi_head_attention(q, k, v, implementation=self.attn_impl)
+        out = out.reshape(b, n, inner)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        name="to_out")(out)
+
+
+class _FeedForward(nn.Module):
+    """LN -> Linear -> GELU(exact) -> Linear (``altvit.py:102-113``)."""
+
+    dim: int
+    hidden_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+
+
+class PreNormTransformer(nn.Module):
+    """Residual pre-norm stack with final LN (``altvit.py:145-160``)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.depth):
+            x = _PreNormAttention(
+                dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                name=f"attn_{i}",
+            )(x) + x
+            x = _FeedForward(
+                dim=self.dim, hidden_dim=self.mlp_dim, dtype=self.dtype,
+                name=f"ff_{i}",
+            )(x) + x
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
+class SimpleViT(nn.Module):
+    """Raster baseline: patchify -> LN/Linear/LN -> +sincos1d -> pre-norm
+    transformer -> mean pool -> linear head (``altvit.py:163-205``)."""
+
+    image_size: int
+    patch_size: int
+    num_classes: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    dim_head: int = 64
+    dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.image_size % self.patch_size == 0, (
+            "Image dimensions must be divisible by the patch size."
+        )
+        n = (self.image_size // self.patch_size) ** 2
+        x = patchify(x, self.patch_size)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_out")(x)
+        x = x + jnp.asarray(sincos_1d(n, self.dim), dtype=x.dtype)
+        x = PreNormTransformer(
+            dim=self.dim, depth=self.depth, heads=self.heads,
+            dim_head=self.dim_head, mlp_dim=self.mlp_dim, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="transformer",
+        )(x)
+        x = x.mean(axis=1)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="linear_head")(x)
+
+
+class CurveViT(nn.Module):
+    """Curve-ordered SimpleViT with GFPE positional encoding.
+
+    Reference ``HilbertViT`` (``altvit.py:208-268``, GFPE hyperparams
+    T=4, h=3.0), generalized over curves.
+    """
+
+    image_size: int
+    patch_size: int
+    num_classes: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    dim_head: int = 64
+    curve: str = "hilbert"
+    temperature: float = 4.0
+    h_param: float = 3.0
+    dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        grid = self.image_size // self.patch_size
+        x = CurvePatchEmbedding(
+            image_size=self.image_size, patch_size=self.patch_size,
+            dim=self.dim, curve=self.curve, dtype=self.dtype,
+            name="to_patch_embedding",
+        )(x)
+        positions = flat_lut(self.curve, grid).astype(np.float32)
+        pe = gfpe(positions, self.dim, temperature=self.temperature,
+                  h_param=self.h_param)
+        x = x + jnp.asarray(pe, dtype=x.dtype)
+        x = PreNormTransformer(
+            dim=self.dim, depth=self.depth, heads=self.heads,
+            dim_head=self.dim_head, mlp_dim=self.mlp_dim, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="transformer",
+        )(x)
+        x = x.mean(axis=1)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="linear_head")(x)
+
+
+def HilbertViT(**kwargs) -> CurveViT:
+    """Reference-named constructor (``altvit.py:208``)."""
+    kwargs.setdefault("curve", "hilbert")
+    if "T" in kwargs:
+        kwargs["temperature"] = kwargs.pop("T")
+    return CurveViT(**kwargs)

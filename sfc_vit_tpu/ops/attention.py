@@ -1,0 +1,79 @@
+"""Attention dispatch: Pallas flash-attention kernel with XLA fallback.
+
+All models route attention through :func:`multi_head_attention` so the
+TPU kernel is a drop-in.  Layout is [B, N, H, Dh] throughout (the
+TPU-friendly "BNHD" layout; no transposes at the call site).
+
+Implementations:
+  * ``"xla"``     -- explicit scaled-dot-product softmax attention; exact
+                     torch semantics (fp32 softmax), used on CPU and for
+                     parity tests.
+  * ``"pallas"``  -- blockwise flash attention kernel
+                     (``ops/flash_attention.py``); TPU only.
+  * ``"auto"``    -- pallas on TPU when shapes allow, else xla.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["multi_head_attention", "dot_product_attention_xla"]
+
+
+def dot_product_attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention: softmax(q k^T * scale) v, [B, N, H, Dh].
+
+    Softmax is computed in fp32 regardless of input dtype (the torch /
+    flash-attention convention), then cast back.
+    """
+    dh = q.shape[-1]
+    scale = dh ** -0.5 if scale is None else scale
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits.astype(jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+
+
+def _pallas_available(q: jnp.ndarray) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    b, n, h, dh = q.shape
+    # Head dims the kernel tiles well (lane-padded at 64 is still a win:
+    # the fused kernel avoids materializing the [N, N] attention matrix).
+    return dh in (64, 128, 256) and n >= 64
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention on [B, N, H, Dh] tensors.
+
+    Args:
+        implementation: "auto" | "xla" | "pallas".
+    """
+    if implementation == "xla":
+        return dot_product_attention_xla(q, k, v, scale)
+    if implementation == "pallas" or (
+        implementation == "auto" and _pallas_available(q)
+    ):
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    if implementation not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown attention implementation {implementation!r}")
+    return dot_product_attention_xla(q, k, v, scale)

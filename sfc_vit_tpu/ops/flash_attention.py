@@ -1,0 +1,151 @@
+"""Pallas TPU attention kernel.
+
+Design (TPU-first, sized to this framework's workloads): ViT sequence
+lengths here are 64..4096 tokens, so K/V for one (batch, head) fit in
+VMEM comfortably.  The kernel therefore tiles **queries** over the grid
+and keeps the full K/V block VMEM-resident -- one HBM read per operand,
+fp32 logits/softmax on the MXU/VPU, no HBM round-trip for the attention
+matrix (the thing XLA's unfused path would materialize).  An online-
+softmax variant for >16k tokens can slot in behind the same signature.
+
+Backward: custom VJP recomputes attention grads via the XLA reference
+formula (flash-style recompute; a fused Pallas backward is a later
+optimization).
+
+Layout: [B, N, H, Dh] in/out (matches ``ops.attention``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import dot_product_attention_xla
+
+__all__ = ["flash_attention"]
+
+_NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_actual: int):
+    q = q_ref[0]  # (BQ, Dh)
+    k = k_ref[0]  # (Np, Dh)
+    v = v_ref[0]  # (Np, Dh)
+    logits = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * scale
+    n_pad = k.shape[0]
+    if n_pad != n_actual:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_actual, logits, _NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    w = (p / denom).astype(v.dtype)
+    out = jax.lax.dot_general(
+        w,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _flash_fwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, n, h, dh = q.shape
+    bh = b * h
+
+    def to_bhnd(x):
+        return x.transpose(0, 2, 1, 3).reshape(bh, n, dh)
+
+    qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    n_pad = _round_up(n, block_q)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        qf = jnp.pad(qf, pad)
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+
+    grid = (bh, n_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, n_actual=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, dh), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_pad, dh), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_pad, dh), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dh), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_pad * n_pad * dh,
+            bytes_accessed=3 * bh * n_pad * dh * q.dtype.itemsize
+            + bh * n_pad * dh * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out[:, :n]
+    return out.reshape(b, h, n, dh).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused TPU attention on [B, N, H, Dh]; numerically matches
+    :func:`~sfc_vit_tpu.ops.attention.dot_product_attention_xla`."""
+    s = q.shape[-1] ** -0.5 if scale is None else scale
+    return _flash_fwd(q, k, v, s, block_q=block_q, interpret=interpret)
+
+
+def _fa_fwd(q, k, v, scale, block_q, interpret):
+    return flash_attention(q, k, v, scale, block_q, interpret), (q, k, v)
+
+
+def _fa_bwd(scale, block_q, interpret, res, g):
+    q, k, v = res
+    s = q.shape[-1] ** -0.5 if scale is None else scale
+    _, vjp = jax.vjp(lambda a, b, c: dot_product_attention_xla(a, b, c, s), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
