@@ -1,0 +1,197 @@
+"""Training CLI -- the declarative replacement for the reference's
+edit-the-source ``main.py``.
+
+Example (the reference's flagship config, ``main.py:269-314``):
+
+    python -m sfc_vit_tpu.cli --dataset cifar10 --data-root /data \\
+        --model vit1d --tokenizer hierarchical --curve morton \\
+        --patch-size-list 16 4 1 --embed-dim 256 --depth 8 --heads 4 \\
+        --mlp-dim 512 --batch-size 512 --epochs 300 --warmup-epochs 10
+
+Smoke test (no data / network needed):
+
+    python -m sfc_vit_tpu.cli --dataset synthetic --epochs 1 \\
+        --steps-per-epoch 3 --batch-size 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sfc_vit_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    d = p.add_argument_group("data")
+    d.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "cifar10", "tiny-imagenet",
+                            "imagefolder"])
+    d.add_argument("--data-root", default=None)
+    d.add_argument("--img-size", type=int, default=32)
+    d.add_argument("--batch-size", type=int, default=512)
+    d.add_argument("--no-augment", action="store_true",
+                   help="skip train-time augmentation")
+
+    m = p.add_argument_group("model")
+    m.add_argument("--model", default="vit1d",
+                   choices=["vit", "vit1d", "hier", "simple", "curvevit"])
+    m.add_argument("--tokenizer", default="hierarchical",
+                   choices=["2d", "1d", "hierarchical"])
+    m.add_argument("--curve", default="morton")
+    m.add_argument("--patch-size", type=int, default=4)
+    m.add_argument("--patch-size-list", type=int, nargs="+",
+                   default=[16, 4, 1])
+    m.add_argument("--embed-dim", type=int, default=256)
+    m.add_argument("--depth", type=int, default=8)
+    m.add_argument("--heads", type=int, default=4)
+    m.add_argument("--mlp-dim", type=int, default=512)
+    m.add_argument("--posemb", default="none",
+                   choices=["none", "sincos1d", "gfpe", "learned"])
+    m.add_argument("--dtype", default=None,
+                   help="compute dtype, e.g. bfloat16")
+    m.add_argument("--attn-impl", default="auto",
+                   choices=["auto", "xla", "pallas"])
+
+    t = p.add_argument_group("training")
+    t.add_argument("--epochs", type=int, default=300)
+    t.add_argument("--warmup-epochs", type=int, default=10)
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--weight-decay", type=float, default=5e-5)
+    t.add_argument("--no-mixing", action="store_true",
+                   help="disable mixup/cutmix")
+    t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="cap steps per epoch (smoke tests)")
+    t.add_argument("--workdir", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--data-parallel", type=int, default=-1)
+    t.add_argument("--model-parallel", type=int, default=1)
+    t.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu)")
+    return p
+
+
+def _load_dataset(args):
+    from .data import (
+        CIFAR10_MEAN,
+        CIFAR10_STD,
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        load_cifar10,
+        load_image_folder,
+        load_tiny_imagenet,
+        synthetic_dataset,
+    )
+
+    if args.dataset == "synthetic":
+        train = synthetic_dataset(n=4096, hw=args.img_size, seed=args.seed)
+        test = synthetic_dataset(n=512, hw=args.img_size, seed=args.seed + 1)
+        stats = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    elif args.dataset == "cifar10":
+        assert args.data_root, "--data-root required for cifar10"
+        train = load_cifar10(args.data_root, train=True)
+        test = load_cifar10(args.data_root, train=False)
+        stats = (CIFAR10_MEAN, CIFAR10_STD)
+    elif args.dataset == "tiny-imagenet":
+        assert args.data_root, "--data-root required"
+        train = load_tiny_imagenet(args.data_root, "train", hw=args.img_size)
+        test = load_tiny_imagenet(args.data_root, "val", hw=args.img_size)
+        stats = (IMAGENET_MEAN, IMAGENET_STD)
+    else:
+        assert args.data_root, "--data-root required"
+        train = load_image_folder(f"{args.data_root}/train", hw=args.img_size)
+        test = load_image_folder(f"{args.data_root}/val", hw=args.img_size)
+        stats = (IMAGENET_MEAN, IMAGENET_STD)
+    return train, test, stats
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from .data import epoch_batches, make_eval_transform, make_train_augment
+    from .registry import ModelConfig, build_model
+    from .training import TrainConfig, Trainer
+
+    train_ds, test_ds, (mean, std) = _load_dataset(args)
+
+    mcfg = ModelConfig(
+        model=args.model, tokenizer=args.tokenizer, curve=args.curve,
+        img_size=args.img_size, patch_size=args.patch_size,
+        patch_size_list=tuple(args.patch_size_list),
+        embed_dim=args.embed_dim, depth=args.depth, n_heads=args.heads,
+        mlp_dim=args.mlp_dim, num_classes=train_ds.num_classes,
+        posemb=args.posemb, dtype=args.dtype, attn_impl=args.attn_impl,
+    )
+    model = build_model(mcfg)
+
+    steps = len(train_ds) // args.batch_size
+    if args.steps_per_epoch:
+        steps = min(steps, args.steps_per_epoch)
+    tcfg = TrainConfig(
+        num_classes=train_ds.num_classes, epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs, base_lr=args.lr,
+        weight_decay=args.weight_decay, use_mixing=not args.no_mixing,
+        seed=args.seed, workdir=args.workdir,
+        data_parallel=args.data_parallel,
+        model_parallel=args.model_parallel,
+    )
+    trainer = Trainer(
+        model, tcfg, steps_per_epoch=steps,
+        sample_input=np.zeros(
+            (2, args.img_size, args.img_size, 3), np.float32
+        ),
+    )
+    if args.resume:
+        resumed = trainer.maybe_resume()
+        print(f"resume: {'restored step ' + str(int(trainer.state.step)) if resumed else 'no checkpoint found'}")
+
+    aug = (
+        make_train_augment(args.img_size, mean, std)
+        if not args.no_augment
+        else None
+    )
+    eval_tf = make_eval_transform(mean, std)
+    aug_key = jax.random.key(args.seed + 17)
+
+    def train_epoch_data(epoch_holder=[0]):
+        epoch = epoch_holder[0]
+        epoch_holder[0] += 1
+        count = 0
+        for xb, yb in epoch_batches(
+            train_ds, args.batch_size, seed=args.seed, epoch=epoch
+        ):
+            if count >= steps:
+                break
+            count += 1
+            if aug is not None:
+                x = aug(jax.random.fold_in(aug_key, epoch * 100003 + count), xb)
+            else:
+                x = eval_tf(xb)
+            yield np.asarray(x), yb
+
+    def eval_data():
+        for xb, yb in epoch_batches(
+            test_ds, args.batch_size, shuffle=False, drop_last=False
+        ):
+            yield np.asarray(eval_tf(xb)), yb
+
+    result = trainer.fit(train_epoch_data, eval_data)
+    print(
+        f"done: best_test_accuracy={result.get('best_test_accuracy', 0):.4f}"
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -147,7 +147,8 @@ class SimpleViT(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        del deterministic  # no dropout in this family (altvit semantics)
         assert self.image_size % self.patch_size == 0, (
             "Image dimensions must be divisible by the patch size."
         )
@@ -189,7 +190,8 @@ class CurveViT(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        del deterministic  # no dropout in this family (altvit semantics)
         grid = self.image_size // self.patch_size
         x = CurvePatchEmbedding(
             image_size=self.image_size, patch_size=self.patch_size,

@@ -1,0 +1,25 @@
+"""Parallelism: meshes, shardings, collectives (new vs the reference)."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    apply_param_sharding,
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    param_sharding_rules,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "apply_param_sharding",
+    "batch_sharding",
+    "init_distributed",
+    "make_mesh",
+    "param_sharding_rules",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,109 @@
+"""Device meshes and sharding rules.
+
+The reference is strictly single-GPU (SURVEY.md section 2f: no
+torch.distributed anywhere); distribution here is new capability designed
+the TPU way: a ``jax.sharding.Mesh`` over ("data", "model") axes, batch
+sharded over "data", parameters either replicated or sharded over
+"model" for the wide dimensions, and XLA inserting the collectives.
+
+Multi-host: call :func:`init_distributed` once per process before mesh
+creation; device order from ``jax.devices()`` keeps ICI-adjacent chips
+adjacent on the mesh axes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "init_distributed",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "param_sharding_rules",
+    "apply_param_sharding",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (no-op for single process)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ("data", "model") mesh.
+
+    ``data=-1`` consumes all remaining devices.  For a single device this
+    degenerates to a 1x1 mesh, so the same jitted train step runs
+    unchanged from 1 chip to a pod slice.
+    """
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    n = devs.size
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, (
+        f"mesh {data}x{model} != {n} available devices"
+    )
+    return Mesh(devs.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a (x, y, ...) tuple with batch-axis sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+
+
+def param_sharding_rules(path: Tuple, value) -> P:
+    """Heuristic tensor-parallel rules for transformer params.
+
+    Dense kernels shard their widest dimension over "model"; everything
+    else replicates.  Used by :func:`apply_param_sharding`; with model=1
+    meshes every spec degenerates to replication.
+    """
+    names = [getattr(p, "key", str(p)) for p in path]
+    last = names[-1] if names else ""
+    if last == "kernel" and hasattr(value, "ndim") and value.ndim == 2:
+        d_in, d_out = value.shape
+        if d_out >= d_in:
+            return P(None, MODEL_AXIS)
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def apply_param_sharding(mesh: Mesh, params):
+    """NamedShardings for a param pytree via :func:`param_sharding_rules`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, param_sharding_rules(path, v)),
+        params,
+    )

@@ -1,0 +1,129 @@
+"""Declarative model/tokenizer registry.
+
+The reference configures experiments by commenting dict entries in and
+out (``main.py:232-250``); here curve x tokenizer-family x model is a
+first-class config: ``build_model(ModelConfig(...))`` -> flax module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+from .curves import CURVE_REGISTRY
+from .models import (
+    CurveViT,
+    HierarchicalVisionTransformer1D,
+    SimpleViT,
+    VisionTransformer,
+    VisionTransformer1D,
+)
+from .tokenizers import (
+    ConvPatchEmbedding,
+    HierarchicalCurveEmbedding,
+    PixelCurveEmbedding1D,
+)
+
+__all__ = ["ModelConfig", "build_tokenizer", "build_model",
+           "TOKENIZER_FAMILIES", "MODEL_FAMILIES"]
+
+TOKENIZER_FAMILIES = ("2d", "1d", "hierarchical")
+MODEL_FAMILIES = ("vit", "vit1d", "hier", "simple", "curvevit")
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """curve + tokenizer + model size in, model out (BASELINE.json API)."""
+
+    model: str = "vit1d"          # one of MODEL_FAMILIES
+    tokenizer: str = "hierarchical"  # one of TOKENIZER_FAMILIES
+    curve: str = "morton"
+    img_size: int = 32
+    patch_size: int = 4
+    patch_size_list: Sequence[int] = (16, 4, 1)
+    embed_dim: int = 256
+    depth: int = 8
+    n_heads: int = 4
+    mlp_dim: int = 512
+    dim_head: int = 64
+    num_classes: int = 10
+    posemb: str = "none"          # family-A positional registry
+    dtype: Optional[str] = None   # e.g. "bfloat16"
+    attn_impl: str = "auto"
+
+    def jax_dtype(self):
+        import jax.numpy as jnp
+
+        return None if self.dtype is None else jnp.dtype(self.dtype)
+
+
+def build_tokenizer(cfg: ModelConfig, return_levels: bool = False):
+    if cfg.curve not in CURVE_REGISTRY and cfg.curve != "random":
+        raise KeyError(
+            f"unknown curve {cfg.curve!r}; available: "
+            f"{sorted(CURVE_REGISTRY) + ['random']}"
+        )
+    dtype = cfg.jax_dtype()
+    if cfg.tokenizer == "2d":
+        return ConvPatchEmbedding(
+            img_size=cfg.img_size, patch_size=cfg.patch_size,
+            embed_dim=cfg.embed_dim, curve=cfg.curve, dtype=dtype,
+        )
+    if cfg.tokenizer == "1d":
+        return PixelCurveEmbedding1D(
+            img_size=cfg.img_size, patch_size=cfg.patch_size,
+            embed_dim=cfg.embed_dim, curve=cfg.curve, dtype=dtype,
+        )
+    if cfg.tokenizer == "hierarchical":
+        return HierarchicalCurveEmbedding(
+            img_size=cfg.img_size, patch_size_list=tuple(cfg.patch_size_list),
+            embed_dim=cfg.embed_dim, curve=cfg.curve, dtype=dtype,
+            return_levels=return_levels,
+        )
+    raise KeyError(
+        f"unknown tokenizer family {cfg.tokenizer!r}; "
+        f"available: {TOKENIZER_FAMILIES}"
+    )
+
+
+def build_model(cfg: ModelConfig):
+    dtype = cfg.jax_dtype()
+    if cfg.model == "simple":
+        return SimpleViT(
+            image_size=cfg.img_size, patch_size=cfg.patch_size,
+            num_classes=cfg.num_classes, dim=cfg.embed_dim, depth=cfg.depth,
+            heads=cfg.n_heads, mlp_dim=cfg.mlp_dim, dim_head=cfg.dim_head,
+            dtype=dtype, attn_impl=cfg.attn_impl,
+        )
+    if cfg.model == "curvevit":
+        return CurveViT(
+            image_size=cfg.img_size, patch_size=cfg.patch_size,
+            num_classes=cfg.num_classes, dim=cfg.embed_dim, depth=cfg.depth,
+            heads=cfg.n_heads, mlp_dim=cfg.mlp_dim, dim_head=cfg.dim_head,
+            curve=cfg.curve, dtype=dtype, attn_impl=cfg.attn_impl,
+        )
+    if cfg.model == "vit":
+        return VisionTransformer(
+            patch_embed=build_tokenizer(cfg), depth=cfg.depth,
+            n_heads=cfg.n_heads, mlp_dim=cfg.mlp_dim,
+            num_classes=cfg.num_classes, posemb=cfg.posemb, dtype=dtype,
+            attn_impl=cfg.attn_impl,
+        )
+    if cfg.model == "vit1d":
+        return VisionTransformer1D(
+            patch_embed=build_tokenizer(cfg), depth=cfg.depth,
+            n_heads=cfg.n_heads, mlp_dim=cfg.mlp_dim,
+            num_classes=cfg.num_classes, posemb=cfg.posemb, dtype=dtype,
+            attn_impl=cfg.attn_impl,
+        )
+    if cfg.model == "hier":
+        if cfg.tokenizer != "hierarchical":
+            raise ValueError("model 'hier' requires tokenizer='hierarchical'")
+        return HierarchicalVisionTransformer1D(
+            patch_embed=build_tokenizer(cfg, return_levels=True),
+            depth=cfg.depth, n_heads=cfg.n_heads, mlp_dim=cfg.mlp_dim,
+            num_classes=cfg.num_classes, dtype=dtype, attn_impl=cfg.attn_impl,
+        )
+    raise KeyError(
+        f"unknown model family {cfg.model!r}; available: {MODEL_FAMILIES}"
+    )

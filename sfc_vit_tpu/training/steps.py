@@ -1,0 +1,145 @@
+"""Jitted train / eval steps.
+
+The reference's per-step host loop (``train.py:133-178``: H2D copy,
+host-numpy mixup, autocast forward, ``loss.item()`` sync every step)
+becomes a single jitted function: augmentation, forward, loss, backward,
+clip, update and metrics all stay on device; the host only feeds batches
+and reads metrics when it wants them.  Everything threads a PRNG key, so
+runs are deterministic and replayable (the framework's answer to
+SURVEY.md section 5 "race detection").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from .losses import cross_entropy, soft_target_cross_entropy
+from .mixing import mix_or_cutmix
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "make_optimizer",
+]
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState; kept as a named subclass for checkpoint clarity."""
+
+
+def make_optimizer(
+    schedule: optax.Schedule,
+    weight_decay: float = 5e-5,
+    grad_clip: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+) -> optax.GradientTransformation:
+    """clip-by-global-norm 1.0 + AdamW, the reference recipe
+    (``train.py:165``, ``main.py:288-289``)."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    sample_input: jnp.ndarray,
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    rngs = {"params": rng, "dropout": rng, "permute": rng}
+    variables = model.init(rngs, sample_input, deterministic=True)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+
+
+def make_train_step(
+    num_classes: int,
+    mixup_alpha: float = 0.2,
+    cutmix_alpha: float = 1.0,
+    mix_prob: float = 0.5,
+    use_mixing: bool = True,
+    schedule: Optional[optax.Schedule] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns ``step(state, batch, rng) -> (state, metrics)`` where batch
+    is ``(images [B,H,W,C], labels [B])``.  Metrics: loss, the
+    lambda-weighted accuracy of ``train.py:170-171``, and lr.
+    """
+
+    def step(state: TrainState, batch: Tuple[jnp.ndarray, jnp.ndarray],
+             rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        x, y = batch
+        rng = jax.random.fold_in(rng, state.step)
+        k_mix, k_drop, k_perm = jax.random.split(rng, 3)
+        if use_mixing:
+            x, y_a, y_b, lam = mix_or_cutmix(
+                k_mix, x, y, mixup_alpha, cutmix_alpha, mix_prob
+            )
+        else:
+            y_a = y_b = y
+            lam = jnp.float32(1.0)
+
+        def loss_fn(params):
+            logits = state.apply_fn(
+                {"params": params},
+                x,
+                deterministic=False,
+                rngs={"dropout": k_drop, "permute": k_perm},
+            )
+            one_a = jax.nn.one_hot(y_a, num_classes, dtype=jnp.float32)
+            one_b = jax.nn.one_hot(y_b, num_classes, dtype=jnp.float32)
+            soft = lam * one_a + (1.0 - lam) * one_b
+            return soft_target_cross_entropy(logits, soft), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        preds = jnp.argmax(logits, axis=-1)
+        acc = (
+            lam * (preds == y_a).astype(jnp.float32)
+            + (1.0 - lam) * (preds == y_b).astype(jnp.float32)
+        ).mean()
+        metrics = {"loss": loss, "accuracy": acc}
+        if schedule is not None:
+            metrics["lr"] = schedule(state.step)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(num_classes: int) -> Callable:
+    """Build the eval step: ``step(state, batch) -> metrics`` with sum-
+    reduced loss/correct counts so the host can aggregate exactly
+    (reference ``evaluate``, ``train.py:80-99``)."""
+
+    def step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        x, y = batch
+        logits = state.apply_fn(
+            {"params": state.params},
+            x,
+            deterministic=True,
+            # constant stream so random-curve ablation models also eval
+            rngs={"permute": jax.random.key(0)},
+        )
+        loss = cross_entropy(logits, y)
+        correct = (jnp.argmax(logits, axis=-1) == y).sum()
+        return {
+            "loss_sum": loss * x.shape[0],
+            "correct": correct,
+            "count": jnp.int32(x.shape[0]),
+        }
+
+    return step

@@ -1,0 +1,176 @@
+"""Training subsystem tests: schedules (parity vs reference), in-graph
+mixing, losses, end-to-end learning on synthetic data, checkpoint/resume,
+and the 8-device data-parallel mesh."""
+
+import pathlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu.data import epoch_batches, make_eval_transform, synthetic_dataset
+from sfc_vit_tpu.models import SimpleViT
+from sfc_vit_tpu.parallel import make_mesh
+from sfc_vit_tpu.training import (
+    TrainConfig,
+    Trainer,
+    cutmix,
+    mix_or_cutmix,
+    mixup,
+    soft_target_cross_entropy,
+    warmup_cosine,
+    warmup_cosine_min_lr,
+)
+
+REF = pathlib.Path("/root/reference")
+
+
+def test_warmup_cosine_min_lr_matches_reference_stepper():
+    if not REF.exists():
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, str(REF))
+    from src.training.scheduler import WarmupCosineScheduler
+
+    class _Opt:  # minimal optimizer stub for the reference stepper
+        param_groups = [{"lr": 3e-4}]
+
+    ref = WarmupCosineScheduler(_Opt(), warmup_steps=10, total_steps=100)
+    mine = warmup_cosine_min_lr(3e-4, 10, 100)
+    for step in range(100):
+        want = ref.step()  # reference returns lr for its current step
+        got = float(mine(step))
+        # fp32 schedule vs the reference's float64 python math
+        assert got == pytest.approx(want, rel=1e-4, abs=1e-9), step
+
+
+def test_warmup_cosine_hf_formula():
+    sched = warmup_cosine(1.0, 10, 110)
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(0.5)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(60)) == pytest.approx(0.5)  # halfway through decay
+    assert float(sched(110)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_soft_ce():
+    logits = jnp.asarray([[2.0, 0.0, -2.0]])
+    targets = jnp.asarray([[1.0, 0.0, 0.0]])
+    want = -jax.nn.log_softmax(logits)[0, 0]
+    assert float(soft_target_cross_entropy(logits, targets)) == pytest.approx(
+        float(want)
+    )
+
+
+def test_mixup_semantics():
+    key = jax.random.key(0)
+    x = jnp.ones((8, 4, 4, 3)) * jnp.arange(8.0)[:, None, None, None]
+    y = jnp.arange(8)
+    mixed, ya, yb, lam = mixup(key, x, y, alpha=0.2)
+    assert mixed.shape == x.shape
+    assert 0.0 <= float(lam) <= 1.0
+    np.testing.assert_array_equal(np.asarray(ya), np.arange(8))
+    # each mixed image is the stated convex combination
+    np.testing.assert_allclose(
+        np.asarray(mixed[:, 0, 0, 0]),
+        float(lam) * np.arange(8) + (1 - float(lam)) * np.asarray(yb),
+        rtol=1e-5,
+    )
+
+
+def test_cutmix_lambda_matches_area():
+    key = jax.random.key(1)
+    x = jnp.zeros((4, 16, 16, 3))
+    y = jnp.arange(4)
+    mixed, ya, yb, lam = cutmix(key, jnp.ones_like(x), y, alpha=1.0)
+    assert mixed.shape == x.shape
+    # lam_adj = 1 - box_area / total; with constant images we can't read
+    # the box, so check the invariant range and dtype instead.
+    assert 0.0 <= float(lam) <= 1.0
+
+
+def test_mix_or_cutmix_jits():
+    key = jax.random.key(2)
+    x = jnp.ones((8, 8, 8, 3))
+    y = jnp.arange(8)
+    out = jax.jit(lambda k: mix_or_cutmix(k, x, y))(key)
+    assert out[0].shape == x.shape
+
+
+def _tiny_model():
+    return SimpleViT(
+        image_size=16, patch_size=4, num_classes=4, dim=32, depth=2,
+        heads=2, mlp_dim=64, dim_head=16, attn_impl="xla",
+    )
+
+
+def _data(n=256, hw=16, classes=4):
+    ds = synthetic_dataset(n=n, hw=hw, num_classes=classes, seed=1)
+    tf = make_eval_transform((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+
+    def epochs(epoch=0, bs=32):
+        for xb, yb in epoch_batches(ds, bs, seed=7, epoch=epoch):
+            yield np.asarray(tf(xb)), yb
+
+    return ds, epochs
+
+
+def test_trainer_learns_synthetic(tmp_path):
+    ds, data = _data()
+    cfg = TrainConfig(
+        num_classes=4, epochs=4, warmup_epochs=1, base_lr=3e-3,
+        use_mixing=False, workdir=str(tmp_path), data_parallel=1,
+    )
+    tr = Trainer(
+        _tiny_model(), cfg, steps_per_epoch=8,
+        sample_input=np.zeros((2, 16, 16, 3), np.float32),
+        mesh=make_mesh(data=1, devices=jax.devices()[:1]),
+    )
+    result = tr.fit(lambda: data(0), lambda: data(1))
+    assert result["test_accuracy"] > 0.5  # well above 0.25 chance
+    # metrics written
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    ds, data = _data(n=64)
+    mesh = make_mesh(data=1, devices=jax.devices()[:1])
+    cfg = TrainConfig(
+        num_classes=4, epochs=2, warmup_epochs=0, base_lr=1e-3,
+        use_mixing=False, workdir=str(tmp_path), data_parallel=1,
+    )
+    kw = dict(
+        steps_per_epoch=2,
+        sample_input=np.zeros((2, 16, 16, 3), np.float32),
+        mesh=mesh,
+    )
+    tr = Trainer(_tiny_model(), cfg, **kw)
+    assert tr.maybe_resume() is False
+    tr.fit(lambda: data(0, bs=32), lambda: data(1, bs=32))
+    step_after = int(tr.state.step)
+
+    tr2 = Trainer(_tiny_model(), cfg, **kw)
+    assert tr2.maybe_resume() is True
+    assert int(tr2.state.step) == step_after
+    assert tr2.start_epoch == 2  # nothing left to do
+    p1 = jax.tree_util.tree_leaves(tr.state.params)[0]
+    p2 = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_trainer_data_parallel_8dev():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    ds, data = _data(n=128)
+    cfg = TrainConfig(
+        num_classes=4, epochs=1, warmup_epochs=0, base_lr=1e-3,
+        use_mixing=True, data_parallel=8,
+    )
+    tr = Trainer(
+        _tiny_model(), cfg, steps_per_epoch=4,
+        sample_input=np.zeros((2, 16, 16, 3), np.float32),
+    )
+    rec = tr.train_epoch(data(0, bs=32))
+    assert np.isfinite(rec["train_loss"])
+    ev = tr.evaluate(data(1, bs=32))
+    assert 0.0 <= ev["test_accuracy"] <= 1.0
