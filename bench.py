@@ -1,0 +1,131 @@
+"""Headline benchmark: ViT-B/16 Hilbert-order vs raster-order throughput.
+
+Prints ONE JSON line:
+    {"metric": "vitb16_hilbert_images_per_sec", "value": <hilbert ips>,
+     "unit": "images/sec/chip", "vs_baseline": <hilbert_ips / raster_ips>}
+
+``vs_baseline`` >= 0.95 is the BASELINE.md north star (curve reordering
+within 5% of raster).  Extra detail goes to stderr.
+
+Usage:
+    python bench.py            # full ViT-B/16 on the available accelerator
+    python bench.py --quick    # tiny model (CI / CPU smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build(curve: str, quick: bool, attn_impl: str, dtype):
+    from sfc_vit_tpu.models import CurveViT, SimpleViT
+
+    if quick:
+        kw = dict(image_size=32, patch_size=4, num_classes=10, dim=64,
+                  depth=2, heads=2, mlp_dim=128, dim_head=32)
+    else:
+        # ViT-B/16 @ 224: 196 tokens, dim 768, depth 12, heads 12.
+        kw = dict(image_size=224, patch_size=16, num_classes=1000, dim=768,
+                  depth=12, heads=12, mlp_dim=3072, dim_head=64)
+    if curve == "raster":
+        return SimpleViT(dtype=dtype, attn_impl=attn_impl, **kw)
+    return CurveViT(curve=curve, dtype=dtype, attn_impl=attn_impl, **kw)
+
+
+def _throughput(model, params, x, iters: int) -> float:
+    """Device-side timing: the iteration loop runs as one jitted
+    ``lax.scan`` (a single dispatch), with each iteration's input
+    perturbed by the previous output so the compiler cannot hoist the
+    loop-invariant forward out of the scan.  Ends in a real host
+    readback -- robust against async-dispatch runtimes where
+    block_until_ready means only "handle exists"."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    from jax import lax
+
+    @jax.jit
+    def run(p, v):
+        def body(carry, _):
+            out = model.apply({"params": p}, v + carry * 1e-24)
+            return out.mean().astype(v.dtype), None
+
+        c, _ = lax.scan(body, jnp.zeros((), v.dtype), None, length=iters)
+        return c
+
+    _np.asarray(jax.device_get(run(params, x)))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _np.asarray(jax.device_get(run(params, x)))
+        times.append(time.perf_counter() - t0)
+    return x.shape[0] * iters / min(times)
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--curve", default="hilbert")
+    p.add_argument("--attn-impl", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(args.dtype) if args.dtype else None
+    batch = args.batch_size or (32 if args.quick else 256)
+    hw = 32 if args.quick else 224
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, hw, hw, 3)),
+        dtype=dtype or jnp.float32,
+    )
+
+    results = {}
+    for curve in ("raster", args.curve):
+        model = _build(curve, args.quick, args.attn_impl, dtype)
+        params = model.init({"params": jax.random.key(0)}, x[:1])["params"]
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                params,
+            )
+
+        ips = _throughput(model, params, x, args.iters)
+        results[curve] = ips
+        print(
+            f"# {curve:8s} {ips:12.1f} images/sec "
+            f"(backend={jax.default_backend()}, batch={batch}, "
+            f"dtype={args.dtype}, attn={args.attn_impl})",
+            file=sys.stderr,
+        )
+
+    hil, ras = results[args.curve], results["raster"]
+    record = {
+        "metric": f"vitb16_{args.curve}_images_per_sec"
+        if not args.quick
+        else f"quick_{args.curve}_images_per_sec",
+        "value": round(hil, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(hil / ras, 4),
+    }
+    print(json.dumps(record))
+    return record
+
+
+if __name__ == "__main__":
+    main()

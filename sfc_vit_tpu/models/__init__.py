@@ -15,6 +15,7 @@ from .layers import (
     TransformerSeqEncoder,
 )
 from .posemb import build_posemb, gfpe, sincos_1d
+from .retrofit import RetrofitViT, load_torchvision_vit, resize_pos_embedding
 from .simple_vit import (
     CurvePatchEmbedding,
     CurveViT,
@@ -37,6 +38,9 @@ __all__ = [
     "TorchTransformerEncoderLayer",
     "TransformerSeqEncoder",
     "build_posemb",
+    "RetrofitViT",
+    "load_torchvision_vit",
+    "resize_pos_embedding",
     "gfpe",
     "sincos_1d",
     "CurvePatchEmbedding",

@@ -84,26 +84,29 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
 
 
-def param_sharding_rules(path: Tuple, value) -> P:
-    """Heuristic tensor-parallel rules for transformer params.
+def param_sharding_rules(value, model_size: int) -> P:
+    """Shape-based tensor-parallel rule for transformer params.
 
-    Dense kernels shard their widest dimension over "model"; everything
-    else replicates.  Used by :func:`apply_param_sharding`; with model=1
-    meshes every spec degenerates to replication.
+    2-D matrices shard their widest divisible dimension over "model";
+    everything else replicates.  Being a pure function of shape, the same
+    rule applies consistently to params *and* their optimizer-state
+    mirrors (Adam mu/nu), which is what makes whole-TrainState sharding
+    trivial.  With model=1 every spec degenerates to replication.
     """
-    names = [getattr(p, "key", str(p)) for p in path]
-    last = names[-1] if names else ""
-    if last == "kernel" and hasattr(value, "ndim") and value.ndim == 2:
-        d_in, d_out = value.shape
-        if d_out >= d_in:
+    shape = getattr(value, "shape", ())
+    if len(shape) == 2:
+        d_in, d_out = shape
+        if d_out >= d_in and d_out % model_size == 0:
             return P(None, MODEL_AXIS)
-        return P(MODEL_AXIS, None)
+        if d_in % model_size == 0:
+            return P(MODEL_AXIS, None)
     return P()
 
 
-def apply_param_sharding(mesh: Mesh, params):
-    """NamedShardings for a param pytree via :func:`param_sharding_rules`."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, v: NamedSharding(mesh, param_sharding_rules(path, v)),
-        params,
+def apply_param_sharding(mesh: Mesh, tree):
+    """NamedShardings for an arbitrary pytree via the shape rule."""
+    model_size = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map(
+        lambda v: NamedSharding(mesh, param_sharding_rules(v, model_size)),
+        tree,
     )

@@ -1,0 +1,109 @@
+"""Retrofit-ViT tests: state-dict import, pos-emb resize, GFPE path."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu.models.retrofit import (
+    RetrofitViT,
+    load_torchvision_vit,
+    resize_pos_embedding,
+)
+
+
+def _fake_torchvision_state_dict(
+    dim=64, depth=2, mlp=128, patch=16, grid=4, classes=10, seed=0,
+    mlp_layout="mlp.linear_1",
+):
+    """Random weights in the torchvision vit state_dict layout."""
+    rng = np.random.default_rng(seed)
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.02
+    sd = {
+        "class_token": r(1, 1, dim),
+        "conv_proj.weight": r(dim, 3, patch, patch),
+        "conv_proj.bias": r(dim),
+        "encoder.pos_embedding": r(1, grid * grid + 1, dim),
+        "encoder.ln.weight": np.ones(dim, np.float32),
+        "encoder.ln.bias": np.zeros(dim, np.float32),
+        "heads.head.weight": r(classes, dim),
+        "heads.head.bias": r(classes),
+    }
+    k2 = "mlp.linear_2" if mlp_layout == "mlp.linear_1" else "mlp.3"
+    for i in range(depth):
+        p = f"encoder.layers.encoder_layer_{i}"
+        sd.update({
+            f"{p}.ln_1.weight": np.ones(dim, np.float32),
+            f"{p}.ln_1.bias": np.zeros(dim, np.float32),
+            f"{p}.ln_2.weight": np.ones(dim, np.float32),
+            f"{p}.ln_2.bias": np.zeros(dim, np.float32),
+            f"{p}.self_attention.in_proj_weight": r(3 * dim, dim),
+            f"{p}.self_attention.in_proj_bias": r(3 * dim),
+            f"{p}.self_attention.out_proj.weight": r(dim, dim),
+            f"{p}.self_attention.out_proj.bias": r(dim),
+            f"{p}.{mlp_layout}.weight": r(mlp, dim),
+            f"{p}.{mlp_layout}.bias": r(mlp),
+            f"{p}.{k2}.weight": r(dim, mlp),
+            f"{p}.{k2}.bias": r(dim),
+        })
+    return sd
+
+
+@pytest.mark.parametrize("layout", ["mlp.linear_1", "mlp.0"])
+def test_load_and_forward(layout):
+    sd = _fake_torchvision_state_dict(mlp_layout=layout)
+    model, params = load_torchvision_vit(sd, image_size=64, curve="hilbert")
+    assert model.depth == 2 and model.dim == 64 and model.n_heads == 1
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 64, 64, 3)),
+                    dtype=jnp.float32)
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 10)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_head_swap_and_resize():
+    sd = _fake_torchvision_state_dict(grid=4)
+    # 128px / patch16 -> 8x8 grid: pos-emb must be resized, head swapped.
+    model, params = load_torchvision_vit(
+        sd, image_size=128, num_classes=257, curve="hilbert"
+    )
+    assert params["pos_embedding"].shape == (1, 65, 64)
+    assert params["head"]["kernel"].shape == (64, 257)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    y = model.apply({"params": params}, x)
+    assert y.shape == (1, 257)
+
+
+def test_gfpe_posemb_path():
+    sd = _fake_torchvision_state_dict(grid=4)
+    model, params = load_torchvision_vit(
+        sd, image_size=64, curve="hilbert", posemb="gfpe"
+    )
+    assert "pos_embedding" not in params
+    y = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
+    assert y.shape == (1, 10)
+
+
+def test_resize_pos_embedding_identity():
+    table = np.random.default_rng(0).standard_normal((1, 17, 8)).astype(
+        np.float32
+    )
+    out = resize_pos_embedding(table, 4)
+    np.testing.assert_allclose(out, table, rtol=1e-5, atol=1e-6)
+
+
+def test_raster_curve_matches_plain_vit():
+    """curve='raster' must reduce to the standard (no-reorder) ViT."""
+    sd = _fake_torchvision_state_dict()
+    m1, p1 = load_torchvision_vit(sd, image_size=64, curve="raster")
+    m2, p2 = load_torchvision_vit(sd, image_size=64, curve="hilbert")
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 64, 64, 3)),
+                    dtype=jnp.float32)
+    y1 = np.asarray(m1.apply({"params": p1}, x))
+    y2 = np.asarray(m2.apply({"params": p2}, x))
+    assert y1.shape == y2.shape
+    # different orderings -> (almost surely) different logits, but both
+    # see the same token multiset, so CLS-attention outputs differ.
+    assert not np.allclose(y1, y2)
