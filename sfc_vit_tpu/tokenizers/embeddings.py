@@ -34,9 +34,46 @@ from ..curves import flat_lut, flat_lut_2d, pixel_lut
 __all__ = [
     "ConvPatchEmbedding",
     "PixelCurveEmbedding1D",
+    "FusedCurveProjection",
     "patchify",
     "curve_gather",
 ]
+
+
+class FusedCurveProjection(nn.Module):
+    """Dense-compatible projection fused with the curve gather.
+
+    Creates params named exactly like ``nn.Dense`` (kernel/bias), so a
+    tokenizer can switch between the XLA take+matmul path and the Pallas
+    fused kernel (``ops/gather_project.py``) without changing its
+    checkpoint layout.  ``lut`` has ``n_tokens * group`` entries; input
+    rows are gathered, grouped, and projected in one kernel.
+    """
+
+    features: int
+    lut: tuple  # static tuple of ints
+    group: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.gather_project import gather_project
+
+        k = x.shape[-1] * self.group
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or x.dtype
+        return gather_project(
+            x.astype(dtype),
+            jnp.asarray(np.asarray(self.lut, dtype=np.int32)),
+            kernel.astype(dtype),
+            bias.astype(dtype),
+            group=self.group,
+        )
 
 
 def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -131,6 +168,7 @@ class PixelCurveEmbedding1D(nn.Module):
     patch_size: int
     embed_dim: int
     curve: str = "raster"
+    fused: bool = False  # route through the Pallas gather+GEMM kernel
     dtype: Optional[jnp.dtype] = None
 
     @property
@@ -149,6 +187,12 @@ class PixelCurveEmbedding1D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)  # row-major pixel sequence
+        if self.fused and self.curve != "raster":
+            lut = tuple(pixel_lut(self.curve, h, w).tolist())
+            return FusedCurveProjection(
+                features=self.embed_dim, lut=lut, group=self.patch_size,
+                dtype=self.dtype, name="proj",
+            )(x)
         if self.curve != "raster":
             x = curve_gather(x, pixel_lut(self.curve, h, w))
         # chunk curve-consecutive pixels into tokens; feature order is

@@ -41,6 +41,7 @@ class GroupedCurveEmbedding1D(nn.Module):
     group_patch_size: int
     embed_dim: int
     curve: str = "raster"
+    fused: bool = False  # route through the Pallas gather+GEMM kernel
     dtype: Optional[jnp.dtype] = None
 
     @property
@@ -63,6 +64,14 @@ class GroupedCurveEmbedding1D(nn.Module):
         b = x.shape[0]
         c = x.shape[-1]
         x = patchify(x, self.pre_patch_size)  # [B, grid^2, p*p*C]
+        if self.fused and self.curve != "raster":
+            from .embeddings import FusedCurveProjection
+
+            lut = tuple(flat_lut(self.curve, self.grid_size).tolist())
+            return FusedCurveProjection(
+                features=self.embed_dim, lut=lut,
+                group=self.group_patch_size, dtype=self.dtype, name="proj",
+            )(x)
         if self.curve != "raster":
             x = curve_gather(x, flat_lut(self.curve, self.grid_size))
         # group g curve-consecutive pre-patches per token
@@ -106,6 +115,7 @@ class HierarchicalCurveEmbedding(nn.Module):
     embed_dim: int  # per-level embedding dim D
     curve: str = "raster"
     return_levels: bool = False
+    fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @property
@@ -145,6 +155,7 @@ class HierarchicalCurveEmbedding(nn.Module):
                     group_patch_size=g,
                     embed_dim=self.embed_dim,
                     curve=self.curve,
+                    fused=self.fused,
                     dtype=self.dtype,
                     name=f"level_{i}",
                 )(x)
