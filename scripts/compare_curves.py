@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Curve-vs-raster training comparison (hilbert.ipynb reproduction).
+
+Trains the notebook's setup -- VisionTransformer d6/h4/D256/mlp256 with a
+2D patch-4 tokenizer -- once per seed for each curve and reports
+mean +/- std accuracy per epoch (``hilbert.ipynb`` cells 3, 5, 9;
+AdamW 1e-4, cosine T_max=10, 10 epochs).
+
+    python scripts/compare_curves.py --dataset cifar10 --data-root /data \\
+        --curves hilbert raster --seeds 3
+    python scripts/compare_curves.py --dataset synthetic --epochs 3  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "cifar10"])
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--curves", nargs="+", default=["hilbert", "raster"])
+    p.add_argument("--seeds", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--out", default=None, help="write JSON results here")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from sfc_vit_tpu.data import (
+        CIFAR10_MEAN, CIFAR10_STD, epoch_batches, load_cifar10,
+        make_eval_transform, synthetic_dataset,
+    )
+    from sfc_vit_tpu.parallel import make_mesh
+    from sfc_vit_tpu.registry import ModelConfig, build_model
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    if args.dataset == "cifar10":
+        train_ds = load_cifar10(args.data_root, True)
+        test_ds = load_cifar10(args.data_root, False)
+        stats = (CIFAR10_MEAN, CIFAR10_STD)
+    else:
+        train_ds = synthetic_dataset(n=2048, hw=32)
+        test_ds = synthetic_dataset(n=512, hw=32, seed=9)
+        stats = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    tf = make_eval_transform(*stats)
+
+    steps = len(train_ds) // args.batch_size
+    if args.steps_per_epoch:
+        steps = min(steps, args.steps_per_epoch)
+
+    def data(ds, epoch, seed, shuffle=True):
+        count = 0
+        for xb, yb in epoch_batches(ds, args.batch_size, seed=seed,
+                                    epoch=epoch, shuffle=shuffle):
+            if count >= steps and shuffle:
+                break
+            count += 1
+            yield np.asarray(tf(xb)), yb
+
+    results = {}
+    for curve in args.curves:
+        accs = []
+        for seed in range(args.seeds):
+            model = build_model(ModelConfig(
+                model="vit", tokenizer="2d", curve=curve, img_size=32,
+                patch_size=4, embed_dim=256, depth=6, n_heads=4,
+                mlp_dim=256, num_classes=train_ds.num_classes,
+            ))
+            cfg = TrainConfig(
+                num_classes=train_ds.num_classes, epochs=args.epochs,
+                warmup_epochs=0, base_lr=args.lr, use_mixing=False,
+                seed=seed, data_parallel=1,
+            )
+            tr = Trainer(model, cfg, steps_per_epoch=steps,
+                         sample_input=np.zeros((2, 32, 32, 3), np.float32),
+                         mesh=make_mesh(data=1,
+                                        devices=jax.devices()[:1]))
+            per_epoch = []
+            for epoch in range(args.epochs):
+                tr.train_epoch(data(train_ds, epoch, seed))
+                ev = tr.evaluate(data(test_ds, 0, 0, shuffle=False))
+                per_epoch.append(ev["test_accuracy"])
+            accs.append(per_epoch)
+            print(f"# {curve} seed {seed}: final acc {per_epoch[-1]:.4f}",
+                  file=sys.stderr)
+        arr = np.asarray(accs)
+        results[curve] = {
+            "mean": arr.mean(axis=0).tolist(),
+            "std": arr.std(axis=0).tolist(),
+            "final_mean": float(arr[:, -1].mean()),
+        }
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,16 @@ class TorchMultiHeadAttention(nn.Module):
         q = q.reshape(b, n, self.n_heads, dh)
         k = k.reshape(b, n, self.n_heads, dh)
         v = v.reshape(b, n, self.n_heads, dh)
-        out = multi_head_attention(q, k, v, implementation=self.attn_impl)
+        if self.is_mutable_collection("intermediates"):
+            # observability path: apply with mutable=['intermediates'] to
+            # capture per-head attention maps (cf. the reference's
+            # commented-out CustomTransformerEncoderLayer, vit.py:48-174).
+            from ..ops.attention import attention_with_weights
+
+            out, weights = attention_with_weights(q, k, v)
+            self.sow("intermediates", "attention_weights", weights)
+        else:
+            out = multi_head_attention(q, k, v, implementation=self.attn_impl)
         out = out.reshape(b, n, d)
         if self.dropout_rate > 0.0:
             out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)

@@ -87,7 +87,13 @@ class _PreNormAttention(nn.Module):
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, n, self.heads, self.dim_head)
         v = v.reshape(b, n, self.heads, self.dim_head)
-        out = multi_head_attention(q, k, v, implementation=self.attn_impl)
+        if self.is_mutable_collection("intermediates"):
+            from ..ops.attention import attention_with_weights
+
+            out, weights = attention_with_weights(q, k, v)
+            self.sow("intermediates", "attention_weights", weights)
+        else:
+            out = multi_head_attention(q, k, v, implementation=self.attn_impl)
         out = out.reshape(b, n, inner)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                         name="to_out")(out)

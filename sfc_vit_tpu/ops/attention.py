@@ -21,7 +21,35 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["multi_head_attention", "dot_product_attention_xla"]
+__all__ = [
+    "multi_head_attention",
+    "dot_product_attention_xla",
+    "attention_with_weights",
+]
+
+
+def attention_with_weights(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+):
+    """Attention that also returns per-head weights [B, H, N, N].
+
+    The observability path (the reference's fully-commented
+    ``CustomTransformerEncoderLayer`` at ``vit.py:48-174`` wanted exactly
+    this); used when a model is applied with a mutable 'intermediates'
+    collection.  Always the XLA formula -- the flash kernel never
+    materializes weights.
+    """
+    dh = q.shape[-1]
+    scale = dh ** -0.5 if scale is None else scale
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    )
+    weights = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", weights.astype(q.dtype), v)
+    return out, weights
 
 
 def dot_product_attention_xla(

@@ -2,21 +2,27 @@
 
 The curve reorder in every tokenizer is ``take(tokens, lut)`` followed by
 a Dense projection.  Unfused, XLA materializes the permuted [B, N, K]
-tensor in HBM between the two ops; this kernel folds the permutation
-into the GEMM's VMEM read pattern so reordering costs **zero extra HBM
-passes** (the BASELINE.md north-star requirement for the patch-embed
-path):
+tensor in HBM between the two ops; this kernel keeps everything in VMEM
+so reordering costs **zero extra HBM passes** (the BASELINE.md
+north-star requirement for the patch-embed path).
 
-  * per (batch, row-tile) grid step, the token matrix x[b] sits in VMEM
-    (Pallas keeps the block resident across consecutive row tiles);
-  * the row tile is gathered VMEM->VMEM by the scalar-prefetched LUT;
-  * one MXU GEMM projects the gathered tile; bias is fused.
+TPU-native gather strategy: dynamic row indexing is hostile to Mosaic's
+tiled vector layouts (sublane indices must be provably aligned), so the
+permutation is realized as a **one-hot matmul on the MXU**:
 
-Sized for this framework's workloads (N <= ~4k tokens, K = patch
-features): x[b] is a few hundred KB and fits VMEM comfortably.
+    onehot[i, n] = (lut_tile[i] == n)          # VPU compare vs iota
+    gathered     = onehot @ x[b]               # MXU, VMEM-resident
+    out_tile    += gathered @ w_p              # MXU, fused bias
 
-Backward: custom VJP -- dx scatters through the inverse permutation and
-both matmuls run as plain XLA (they are already single fused GEMMs).
+For grouped tokens (the reference's ``'b (n g) d -> b n (g d)'``), the
+group dimension becomes a static accumulation over ``g`` one-hot
+matmuls against static weight slices -- no in-kernel reshape, no
+unaligned shape casts.  The one-hot matmul adds ~N/D extra MXU work,
+which for this framework's shapes (N <= ~4k, D >= 64) is noise compared
+to the saved HBM round trip.
+
+Backward: custom VJP -- dx scatters through the permutation and both
+matmuls run as plain XLA (each is already a single fused GEMM).
 """
 
 from __future__ import annotations
@@ -47,36 +53,35 @@ def gather_project_xla(
     return out if b is None else out + b.astype(out.dtype)
 
 
-def _kernel(lut_ref, x_ref, w_ref, b_ref, o_ref, gathered, *,
-            block_n: int, group: int):
-    j = pl.program_id(1)
-    rows = block_n * group
-
-    def gather_row(r, _):
-        src = lut_ref[j * rows + r]
-        gathered[pl.ds(r, 1), :] = x_ref[0, pl.ds(src, 1), :]
-        return 0
-
-    jax.lax.fori_loop(0, rows, gather_row, 0)
-    # token i = concat of its `group` curve-consecutive gathered rows
-    # (the reference's  'b (n g) d -> b n (g d)'  grouping).
-    tile = gathered[:].reshape(block_n, group * gathered.shape[-1])
-    out = jax.lax.dot_general(
-        tile, w_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out = out + b_ref[:].astype(jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+def _kernel(lut_ref, x_ref, w_ref, b_ref, o_ref, *, group: int, k: int):
+    x = x_ref[0]  # (N, K) VMEM-resident token matrix for this batch elem
+    n = x.shape[0]
+    block_n = o_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_n, n), 1)
+    acc = jnp.zeros((block_n, o_ref.shape[2]), jnp.float32)
+    for p in range(group):
+        idx = lut_ref[p]  # (block_n, 1) int32, token ids for this slot
+        onehot = (idx == col).astype(x.dtype)  # (block_n, N)
+        gathered = jax.lax.dot_general(
+            onehot, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)  # (block_n, K)
+        w_p = w_ref[p * k : (p + 1) * k, :]
+        acc = acc + jax.lax.dot_general(
+            gathered, w_p,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc = acc + b_ref[:].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def gather_project(
     x: jnp.ndarray,
     lut: jnp.ndarray,
@@ -108,45 +113,49 @@ def _fwd_impl(x, lut, w, b, block_n, interpret, group=1):
     bias = jnp.zeros((1, d), w.dtype) if b is None else b.reshape(1, d)
     block_n = min(block_n, _round_up(m, 8))
     m_pad = _round_up(m, block_n)
+    # Host-side re-layout: slot-major (group, M_pad, 1) so the kernel
+    # reads each slot's indices as an aligned (block_n, 1) VMEM vector.
     lut_padded = jnp.pad(lut.astype(jnp.int32), (0, (m_pad - m) * group))
+    lut2d = lut_padded.reshape(m_pad, group).T.reshape(group, m_pad, 1)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, block_n=block_n, group=group),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(bsz, m_pad // block_n),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, n, k), lambda i, j, lut: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (group * k, d), lambda i, j, lut: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, d), lambda i, j, lut: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, block_n, d), lambda i, j, lut: (i, j, 0),
+        functools.partial(_kernel, group=group, k=k),
+        grid=(bsz, m_pad // block_n),
+        in_specs=[
+            pl.BlockSpec(
+                (group, block_n, 1), lambda i, j: (0, j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[pltpu.VMEM((block_n * group, k), x.dtype)],
+            pl.BlockSpec(
+                (1, n, k), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group * k, d), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, d), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_n, d), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, m_pad, d), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * m_pad * group * k * d,
+            flops=2 * bsz * m_pad * group * k * d
+            + 2 * bsz * m_pad * group * n * k,
             bytes_accessed=(
                 bsz * n * k * x.dtype.itemsize
-                + k * d * w.dtype.itemsize
+                + group * k * d * w.dtype.itemsize
                 + bsz * m_pad * d * x.dtype.itemsize
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(lut_padded, x, w, bias)
+    )(lut2d, x, w, bias)
     return out[:, :m]
 
 

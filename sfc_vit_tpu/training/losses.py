@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import jax
 
-__all__ = ["soft_target_cross_entropy", "cross_entropy"]
+__all__ = ["soft_target_cross_entropy", "cross_entropy", "mixup_criterion"]
 
 
 def soft_target_cross_entropy(
@@ -24,3 +24,12 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean integer-label cross entropy in fp32 (eval criterion)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+
+def mixup_criterion(criterion, pred, y_a, y_b, lam):
+    """lam * L(pred, y_a) + (1 - lam) * L(pred, y_b).
+
+    Reference ``mixup_criterion`` (``train.py:50-54``; notebook loops use
+    it with hard labels).
+    """
+    return lam * criterion(pred, y_a) + (1.0 - lam) * criterion(pred, y_b)

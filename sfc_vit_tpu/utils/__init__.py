@@ -1,5 +1,5 @@
 """Utilities: torch interop, config, registries."""
 
-from . import torch_compat
+from . import profiling, torch_compat
 
-__all__ = ["torch_compat"]
+__all__ = ["profiling", "torch_compat"]

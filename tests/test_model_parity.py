@@ -194,3 +194,25 @@ def test_hierarchical_vit_smoke():
     y = mine.apply({"params": params}, x)
     assert y.shape == (2, 10)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_attention_map_capture():
+    """Applying with mutable intermediates yields per-head maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfc_vit_tpu.utils.profiling import attention_maps
+
+    m = models.SimpleViT(
+        image_size=16, patch_size=4, num_classes=4, dim=32, depth=2,
+        heads=2, mlp_dim=64, dim_head=16, attn_impl="xla",
+    )
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    variables = m.init(jax.random.key(0), x)
+    out = attention_maps(m, variables, x)
+    assert out["logits"].shape == (2, 4)
+    assert len(out["attention"]) == 2  # one map per layer
+    for w in out["attention"].values():
+        arr = np.asarray(w)
+        assert arr.shape[-4:] == (2, 2, 16, 16)
+        np.testing.assert_allclose(arr.sum(-1), 1.0, rtol=1e-5, atol=1e-5)
