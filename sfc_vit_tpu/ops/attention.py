@@ -96,12 +96,22 @@ def multi_head_attention(
     """
     if implementation == "xla":
         return dot_product_attention_xla(q, k, v, scale)
+    if implementation == "local":
+        # curve-local block attention (O(N*window); see local_attention.py)
+        from .local_attention import (
+            local_block_attention,
+            local_block_attention_xla,
+        )
+
+        if jax.default_backend() == "tpu":
+            return local_block_attention(q, k, v, scale=scale)
+        return local_block_attention_xla(q, k, v, scale=scale)
     if implementation == "pallas" or (
         implementation == "auto" and _pallas_available(q)
     ):
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
-    if implementation not in ("auto", "xla", "pallas"):
+    if implementation not in ("auto", "xla", "pallas", "local"):
         raise ValueError(f"unknown attention implementation {implementation!r}")
     return dot_product_attention_xla(q, k, v, scale)

@@ -120,3 +120,55 @@ def test_fused_tokenizer_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
         )
+
+
+# ---------------- curve-local block attention ----------------
+
+from sfc_vit_tpu.ops.local_attention import (
+    local_block_attention,
+    local_block_attention_xla,
+)
+
+
+@pytest.mark.parametrize("n,halo", [(512, 1), (512, 2), (300, 1)])
+def test_local_attention_matches_xla_mask(n, halo):
+    """Exact |Δblock|<=halo masking at every position, incl. edges and
+    a non-multiple sequence length."""
+    rng = np.random.default_rng(0)
+    b, h, dh, blk = 2, 2, 64, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n, h, dh)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    want = local_block_attention_xla(q, k, v, block=blk, halo=halo)
+    got = local_block_attention(q, k, v, block=blk, halo=halo,
+                                interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_local_attention_small_sequence_is_dense():
+    """When the window covers everything, result == dense attention."""
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 128, 2, 64)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    want = dot_product_attention_xla(q, k, v)
+    got = local_block_attention(q, k, v, block=128, halo=1, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_local_attention_via_dispatcher():
+    from sfc_vit_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 256, 2, 64)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    out = multi_head_attention(q, k, v, implementation="local")
+    assert out.shape == q.shape and np.isfinite(np.asarray(out)).all()
