@@ -1,5 +1,6 @@
 """Parallelism: meshes, shardings, collectives (new vs the reference)."""
 
+from .sequence import sequence_parallel_attention
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -22,4 +23,5 @@ __all__ = [
     "param_sharding_rules",
     "replicated",
     "shard_batch",
+    "sequence_parallel_attention",
 ]

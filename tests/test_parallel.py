@@ -1,0 +1,85 @@
+"""Parallelism tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu.data.pipeline import prefetch_to_device
+from sfc_vit_tpu.ops.attention import dot_product_attention_xla
+from sfc_vit_tpu.parallel import (
+    apply_param_sharding,
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+)
+from sfc_vit_tpu.parallel.sequence import sequence_parallel_attention
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = make_mesh(data=1, devices=jax.devices()[:1])
+    assert mesh1.shape == {"data": 1, "model": 1}
+
+
+def test_shard_batch_places_on_mesh():
+    mesh = make_mesh(data=8)
+    x = np.zeros((16, 4, 4, 3), np.float32)
+    y = np.zeros((16,), np.int32)
+    xb, yb = shard_batch(mesh, (x, y))
+    assert xb.sharding == batch_sharding(mesh)
+    assert len(xb.addressable_shards) == 8
+
+
+def test_param_sharding_shape_rule():
+    mesh = make_mesh(data=4, model=2)
+    tree = {
+        "dense": {"kernel": np.zeros((64, 128)), "bias": np.zeros(128)},
+        "down": {"kernel": np.zeros((128, 64))},
+        "odd": np.zeros((3, 5)),
+    }
+    sh = apply_param_sharding(mesh, tree)
+    assert "model" in str(sh["dense"]["kernel"].spec)
+    assert sh["dense"]["bias"].spec == jax.sharding.PartitionSpec()
+    assert "model" in str(sh["down"]["kernel"].spec)
+    assert sh["odd"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sequence_parallel_attention_matches_dense():
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(0)
+    b, n, h, dh = 2, 64, 2, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n, h, dh)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    want = dot_product_attention_xla(q, k, v)
+    got = sequence_parallel_attention(mesh, q, k, v, axis="model")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_prefetch_to_device():
+    mesh = make_mesh(data=8)
+    batches = [
+        (np.full((8, 2, 2, 3), i, np.float32), np.full((8,), i, np.int32))
+        for i in range(5)
+    ]
+    seen = []
+    for xb, yb in prefetch_to_device(iter(batches), size=2, mesh=mesh):
+        assert len(xb.addressable_shards) == 8
+        seen.append(int(yb[0]))
+    assert seen == [0, 1, 2, 3, 4]
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield (np.zeros((8, 2, 2, 3), np.float32), np.zeros((8,), np.int32))
+        raise ValueError("boom")
+
+    it = prefetch_to_device(gen(), size=1)
+    next(it)
+    with pytest.raises(ValueError, match="boom"):
+        list(it)

@@ -1,0 +1,106 @@
+"""Real-TPU hardware checks (opt-in: SFC_VIT_TPU_TESTS=1).
+
+Run on a TPU VM with:
+    SFC_VIT_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+
+These compile the Pallas kernels with Mosaic (not interpret mode) and
+execute a full flagship training step on the chip.  Skipped entirely in
+the hermetic CPU suite.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SFC_VIT_TPU_TESTS"),
+    reason="TPU hardware tests are opt-in (SFC_VIT_TPU_TESTS=1)",
+)
+
+if os.environ.get("SFC_VIT_TPU_TESTS"):
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":  # pragma: no cover
+        pytest.skip("no TPU backend", allow_module_level=True)
+
+
+def test_flash_attention_on_chip():
+    from sfc_vit_tpu.ops.attention import dot_product_attention_xla
+    from sfc_vit_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, 196, 12, 64)), dtype=jnp.bfloat16)
+        for _ in range(3)
+    )
+    got = np.asarray(jax.device_get(flash_attention(q, k, v))).astype(
+        np.float32
+    )
+    want = np.asarray(
+        jax.device_get(dot_product_attention_xla(q, k, v))
+    ).astype(np.float32)
+    assert np.abs(got - want).max() < 3e-2
+
+
+def test_gather_project_on_chip():
+    from sfc_vit_tpu.ops.gather_project import (
+        gather_project,
+        gather_project_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 1024, 3)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((48, 64)) * 0.05, dtype=jnp.float32)
+    lut = jnp.asarray(rng.permutation(1024).astype(np.int32))
+    got = np.asarray(jax.device_get(gather_project(x, lut, w, None, group=16)))
+    want = np.asarray(
+        jax.device_get(gather_project_xla(x, lut, w, None, group=16))
+    )
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_local_attention_on_chip():
+    from sfc_vit_tpu.ops.local_attention import (
+        local_block_attention,
+        local_block_attention_xla,
+    )
+
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 512, 4, 64)), dtype=jnp.bfloat16)
+        for _ in range(3)
+    )
+    got = np.asarray(
+        jax.device_get(local_block_attention(q, k, v, block=128, halo=1))
+    ).astype(np.float32)
+    want = np.asarray(
+        jax.device_get(local_block_attention_xla(q, k, v, block=128, halo=1))
+    ).astype(np.float32)
+    assert np.abs(got - want).max() < 3e-2
+
+
+def test_flagship_train_step_on_chip():
+    from sfc_vit_tpu.registry import ModelConfig, build_model
+    from sfc_vit_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        warmup_cosine,
+    )
+
+    model = build_model(ModelConfig(
+        model="vit1d", tokenizer="hierarchical", curve="morton",
+        img_size=32, patch_size_list=(16, 4, 1), embed_dim=256, depth=2,
+        n_heads=4, mlp_dim=512, num_classes=10, dtype="bfloat16",
+    ))
+    x = jnp.zeros((32, 32, 32, 3), jnp.float32)
+    y = jnp.zeros((32,), jnp.int32)
+    sched = warmup_cosine(3e-4, 2, 10)
+    state = create_train_state(
+        model, jax.random.key(0), x, make_optimizer(sched)
+    )
+    step = jax.jit(make_train_step(num_classes=10, schedule=sched))
+    state, metrics = step(state, (x, y), jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
