@@ -77,9 +77,11 @@ def _pallas_available(q: jnp.ndarray) -> bool:
     if jax.default_backend() != "tpu":
         return False
     b, n, h, dh = q.shape
-    # Head dims the kernel tiles well (lane-padded at 64 is still a win:
-    # the fused kernel avoids materializing the [N, N] attention matrix).
-    return dh in (64, 128, 256) and n >= 64
+    # Measured on v5e (RESULTS.md): for short ViT sequences XLA's fused
+    # attention beats the block-q kernel (padding 196->256 and dh=64 lane
+    # padding dominate); the kernel wins once the [N, N] matrix would be
+    # the HBM bottleneck.  Crossover set conservatively at 1k tokens.
+    return dh in (64, 128, 256) and n >= 1024
 
 
 def multi_head_attention(

@@ -18,7 +18,7 @@ import numpy as np
 from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
 from .checkpoint import Checkpointer
 from .metrics_logger import MetricsLogger
-from .schedules import warmup_cosine
+from .schedules import warmup_cosine, warmup_cosine_min_lr
 from .steps import (
     TrainState,
     create_train_state,
@@ -45,6 +45,8 @@ class TrainConfig:
     cutmix_alpha: float = 1.0
     mix_prob: float = 0.5
     use_mixing: bool = True
+    schedule: str = "cosine"  # "cosine" (HF math) | "cosine_min_lr"
+    min_lr: float = 1e-6
     seed: int = 42
     workdir: Optional[str] = None
     checkpoint_keep: int = 3
@@ -75,16 +77,24 @@ class Trainer:
         )
         total_steps = config.epochs * steps_per_epoch
         warmup_steps = config.warmup_epochs * steps_per_epoch
-        self.schedule = warmup_cosine(config.base_lr, warmup_steps, total_steps)
+        if config.schedule == "cosine":
+            self.schedule = warmup_cosine(
+                config.base_lr, warmup_steps, total_steps
+            )
+        elif config.schedule == "cosine_min_lr":
+            self.schedule = warmup_cosine_min_lr(
+                config.base_lr, warmup_steps, total_steps, config.min_lr
+            )
+        else:
+            raise ValueError(f"unknown schedule {config.schedule!r}")
         tx = make_optimizer(
             self.schedule, config.weight_decay, config.grad_clip
         )
         rng = jax.random.key(config.seed)
         self.rng = rng
-        with jax.set_mesh(self.mesh) if hasattr(jax, "set_mesh") else _null():
-            self.state = create_train_state(
-                model, rng, jax.numpy.asarray(sample_input), tx
-            )
+        self.state = create_train_state(
+            model, rng, jax.numpy.asarray(sample_input), tx
+        )
         # Replicate state over the mesh; batch arrives data-sharded.
         rep = replicated(self.mesh)
         self.state = jax.device_put(self.state, rep)
@@ -190,11 +200,3 @@ class Trainer:
             self.checkpointer.wait()
         record["best_test_accuracy"] = best_acc
         return record
-
-
-class _null:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

@@ -1,0 +1,86 @@
+"""Coverage for remaining model components: positional registry,
+TokenAggregator, bf16 compute, registry error paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu import models
+from sfc_vit_tpu.registry import ModelConfig, build_model
+from sfc_vit_tpu.tokenizers import ConvPatchEmbedding
+
+
+def _x(b=2, hw=16):
+    return jnp.asarray(
+        np.random.default_rng(0).standard_normal((b, hw, hw, 3)),
+        dtype=jnp.float32,
+    )
+
+
+@pytest.mark.parametrize("posemb", ["none", "sincos1d", "gfpe", "learned"])
+def test_posemb_registry(posemb):
+    tok = ConvPatchEmbedding(img_size=16, patch_size=4, embed_dim=32,
+                             curve="hilbert")
+    m = models.VisionTransformer(
+        patch_embed=tok, depth=1, n_heads=2, mlp_dim=32, num_classes=4,
+        posemb=posemb, attn_impl="xla",
+    )
+    x = _x()
+    params = m.init(jax.random.key(0), x)["params"]
+    if posemb == "learned":
+        assert "pos_embed" in params
+    y = m.apply({"params": params}, x)
+    assert y.shape == (2, 4) and np.isfinite(np.asarray(y)).all()
+
+
+def test_token_aggregator():
+    ta = models.TokenAggregator(dim=32)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16, 32)),
+                    dtype=jnp.float32)
+    p = ta.init(jax.random.key(0), x)["params"]
+    y = ta.apply({"params": p}, x)
+    assert y.shape == (2, 16, 32)
+    # depthwise + pointwise + norm params exist
+    assert set(p) == {"dw", "pw", "norm"}
+
+
+def test_bf16_compute_path():
+    cfg = ModelConfig(
+        model="simple", tokenizer="2d", curve="raster", img_size=16,
+        patch_size=4, embed_dim=32, depth=1, n_heads=2, mlp_dim=32,
+        num_classes=4, dtype="bfloat16", attn_impl="xla",
+    )
+    m = build_model(cfg)
+    x = _x()
+    params = m.init(jax.random.key(0), x)["params"]
+    # params stay fp32 (mixed precision), compute in bf16
+    assert jax.tree_util.tree_leaves(params)[0].dtype == jnp.float32
+    y = m.apply({"params": params}, x)
+    assert y.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
+
+
+def test_registry_error_paths():
+    with pytest.raises(KeyError, match="unknown curve"):
+        build_model(ModelConfig(curve="nope"))
+    with pytest.raises(KeyError, match="unknown model family"):
+        build_model(ModelConfig(model="nope"))
+    with pytest.raises(ValueError, match="requires tokenizer"):
+        build_model(ModelConfig(model="hier", tokenizer="1d"))
+
+
+def test_trainer_min_lr_schedule(tmp_path):
+    from sfc_vit_tpu.parallel import make_mesh
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    m = models.SimpleViT(image_size=16, patch_size=4, num_classes=4,
+                         dim=32, depth=1, heads=2, mlp_dim=32,
+                         dim_head=16, attn_impl="xla")
+    cfg = TrainConfig(num_classes=4, epochs=1, warmup_epochs=0,
+                      schedule="cosine_min_lr", use_mixing=False,
+                      data_parallel=1)
+    tr = Trainer(m, cfg, steps_per_epoch=2,
+                 sample_input=np.zeros((2, 16, 16, 3), np.float32),
+                 mesh=make_mesh(data=1, devices=jax.devices()[:1]))
+    assert float(tr.schedule(10_000)) == pytest.approx(cfg.min_lr, rel=1e-3)
