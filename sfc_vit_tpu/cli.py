@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cap steps per epoch (smoke tests)")
     t.add_argument("--workdir", default=None)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--eval-only", action="store_true",
+                   help="restore the best checkpoint and evaluate")
     t.add_argument("--data-parallel", type=int, default=-1)
     t.add_argument("--model-parallel", type=int, default=1)
     t.add_argument("--platform", default=None,
@@ -152,6 +154,25 @@ def main(argv=None) -> dict:
             (2, args.img_size, args.img_size, 3), np.float32
         ),
     )
+    if args.eval_only:
+        assert trainer.checkpointer is not None, "--eval-only needs --workdir"
+        trainer.state = trainer.checkpointer.restore_best(trainer.state)
+        eval_tf0 = make_eval_transform(mean, std)
+
+        def eval_batches():
+            for xb, yb in epoch_batches(
+                test_ds, args.batch_size, shuffle=False, drop_last=False
+            ):
+                yield np.asarray(eval_tf0(xb)), yb
+
+        result = trainer.evaluate(eval_batches())
+        print(
+            f"eval: step={int(trainer.state.step)} "
+            f"test_loss={result['test_loss']:.4f} "
+            f"test_accuracy={result['test_accuracy']:.4f}"
+        )
+        return result
+
     if args.resume:
         resumed = trainer.maybe_resume()
         print(f"resume: {'restored step ' + str(int(trainer.state.step)) if resumed else 'no checkpoint found'}")
