@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "sincos1d", "gfpe", "learned"])
     m.add_argument("--dtype", default=None,
                    help="compute dtype, e.g. bfloat16")
+    m.add_argument("--fused-tokenizer", action="store_true",
+                   help="use the Pallas fused gather+GEMM tokenizer")
     m.add_argument("--attn-impl", default="auto",
                    choices=["auto", "xla", "pallas"])
 
@@ -133,7 +135,8 @@ def main(argv=None) -> dict:
         patch_size_list=tuple(args.patch_size_list),
         embed_dim=args.embed_dim, depth=args.depth, n_heads=args.heads,
         mlp_dim=args.mlp_dim, num_classes=train_ds.num_classes,
-        posemb=args.posemb, dtype=args.dtype, attn_impl=args.attn_impl,
+        posemb=args.posemb, fused=args.fused_tokenizer,
+        dtype=args.dtype, attn_impl=args.attn_impl,
     )
     model = build_model(mcfg)
 

@@ -48,6 +48,7 @@ class ModelConfig:
     dim_head: int = 64
     num_classes: int = 10
     posemb: str = "none"          # family-A positional registry
+    fused: bool = False           # Pallas fused gather+GEMM tokenizers
     dtype: Optional[str] = None   # e.g. "bfloat16"
     attn_impl: str = "auto"
 
@@ -67,18 +68,20 @@ def build_tokenizer(cfg: ModelConfig, return_levels: bool = False):
     if cfg.tokenizer == "2d":
         return ConvPatchEmbedding(
             img_size=cfg.img_size, patch_size=cfg.patch_size,
-            embed_dim=cfg.embed_dim, curve=cfg.curve, dtype=dtype,
+            embed_dim=cfg.embed_dim, curve=cfg.curve,
+            fused=cfg.fused and cfg.curve != "random", dtype=dtype,
         )
     if cfg.tokenizer == "1d":
         return PixelCurveEmbedding1D(
             img_size=cfg.img_size, patch_size=cfg.patch_size,
-            embed_dim=cfg.embed_dim, curve=cfg.curve, dtype=dtype,
+            embed_dim=cfg.embed_dim, curve=cfg.curve, fused=cfg.fused,
+            dtype=dtype,
         )
     if cfg.tokenizer == "hierarchical":
         return HierarchicalCurveEmbedding(
             img_size=cfg.img_size, patch_size_list=tuple(cfg.patch_size_list),
-            embed_dim=cfg.embed_dim, curve=cfg.curve, dtype=dtype,
-            return_levels=return_levels,
+            embed_dim=cfg.embed_dim, curve=cfg.curve, fused=cfg.fused,
+            dtype=dtype, return_levels=return_levels,
         )
     raise KeyError(
         f"unknown tokenizer family {cfg.tokenizer!r}; "

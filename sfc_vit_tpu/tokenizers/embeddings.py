@@ -94,6 +94,42 @@ def curve_gather(tokens: jnp.ndarray, lut: np.ndarray) -> jnp.ndarray:
     return jnp.take(tokens, jnp.asarray(lut), axis=1)
 
 
+class _FusedConvProjection(nn.Module):
+    """Conv-compatible params (kernel [p,p,C,D] + bias) applied as a
+    fused gather+GEMM over patchified features.
+
+    A stride-p conv patchify is exactly ``patchify(x, p) @ reshape(W)``;
+    keeping the conv kernel shape makes the param tree interchangeable
+    with the unfused ``nn.Conv`` path.
+    """
+
+    features: int
+    patch_size: int
+    lut: tuple
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.gather_project import gather_project
+
+        p = self.patch_size
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        patches = patchify(x, p)  # features ordered (row, col, chan)
+        dtype = self.dtype or x.dtype
+        return gather_project(
+            patches.astype(dtype),
+            jnp.asarray(np.asarray(self.lut, dtype=np.int32)),
+            kernel.reshape(p * p * c, self.features).astype(dtype),
+            bias.astype(dtype),
+        )
+
+
 class ConvPatchEmbedding(nn.Module):
     """Conv patchify then (optional) curve reorder -- the 2D family.
 
@@ -117,6 +153,7 @@ class ConvPatchEmbedding(nn.Module):
     patch_size: int
     embed_dim: int
     curve: str = "raster"
+    fused: bool = False  # fold conv + curve gather into one Pallas GEMM
     dtype: Optional[jnp.dtype] = None
 
     @property
@@ -129,6 +166,16 @@ class ConvPatchEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused and self.curve not in ("random",):
+            lut = (
+                flat_lut_2d(self.curve, self.grid_size)
+                if self.curve != "raster"
+                else np.arange(self.n_patches, dtype=np.int32)
+            )
+            return _FusedConvProjection(
+                features=self.embed_dim, patch_size=self.patch_size,
+                lut=tuple(lut.tolist()), dtype=self.dtype, name="proj",
+            )(x)
         x = nn.Conv(
             features=self.embed_dim,
             kernel_size=(self.patch_size, self.patch_size),

@@ -172,3 +172,25 @@ def test_local_attention_via_dispatcher():
     )
     out = multi_head_attention(q, k, v, implementation="local")
     assert out.shape == q.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_conv_tokenizer_matches_unfused():
+    from sfc_vit_tpu.tokenizers import ConvPatchEmbedding
+
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 32, 32, 3)),
+        dtype=jnp.float32,
+    )
+    for curve in ("hilbert", "raster"):
+        ref_mod = ConvPatchEmbedding(
+            img_size=32, patch_size=4, embed_dim=64, curve=curve
+        )
+        fused_mod = ConvPatchEmbedding(
+            img_size=32, patch_size=4, embed_dim=64, curve=curve, fused=True
+        )
+        params = ref_mod.init(jax.random.key(0), x)["params"]
+        want = ref_mod.apply({"params": params}, x)
+        got = fused_mod.apply({"params": params}, x)  # conv tree reused
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
