@@ -20,7 +20,7 @@ from ..tokenizers.embeddings import curve_gather, patchify
 from .posemb import gfpe, sincos_1d
 from ..ops.attention import multi_head_attention
 
-__all__ = ["CurvePatchEmbedding", "PreNormTransformer", "SimpleViT", "CurveViT", "HilbertViT"]
+__all__ = ["CurvePatchEmbedding", "PreNormTransformer", "SimpleViT", "CurveViT", "HilbertViT", "curve_pair_pool"]
 
 
 class CurvePatchEmbedding(nn.Module):
@@ -114,14 +114,34 @@ class _FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
 
 
+def curve_pair_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """Merge curve-adjacent token pairs by averaging: [B, N, D] -> [B, N/2, D].
+
+    Because tokens are curve-ordered, position 2i and 2i+1 are spatial
+    neighbours (the clustering-number property), so pair pooling is a
+    semantically local reduction -- the curve-native analogue of the
+    neighbour-aware token reduction literature (PAPERS.md).  Static
+    shapes, pure reshape+mean: free on TPU.
+    """
+    b, n, d = x.shape
+    assert n % 2 == 0, f"token count {n} must be even to pair-pool"
+    return x.reshape(b, n // 2, 2, d).mean(axis=2)
+
+
 class PreNormTransformer(nn.Module):
-    """Residual pre-norm stack with final LN (``altvit.py:145-160``)."""
+    """Residual pre-norm stack with final LN (``altvit.py:145-160``).
+
+    ``pool_layers`` optionally halves the token count after the given
+    layer indices via :func:`curve_pair_pool` (curve-native token
+    reduction; quadratic-attention cost drops 4x per pool).
+    """
 
     dim: int
     depth: int
     heads: int
     dim_head: int
     mlp_dim: int
+    pool_layers: tuple = ()
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
@@ -137,6 +157,8 @@ class PreNormTransformer(nn.Module):
                 dim=self.dim, hidden_dim=self.mlp_dim, dtype=self.dtype,
                 name=f"ff_{i}",
             )(x) + x
+            if i in self.pool_layers:
+                x = curve_pair_pool(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
@@ -195,6 +217,7 @@ class CurveViT(nn.Module):
     curve: str = "hilbert"
     temperature: float = 4.0
     h_param: float = 3.0
+    pool_layers: tuple = ()  # curve-native token reduction after these layers
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
@@ -213,7 +236,8 @@ class CurveViT(nn.Module):
         x = x + jnp.asarray(pe, dtype=x.dtype)
         x = PreNormTransformer(
             dim=self.dim, depth=self.depth, heads=self.heads,
-            dim_head=self.dim_head, mlp_dim=self.mlp_dim, dtype=self.dtype,
+            dim_head=self.dim_head, mlp_dim=self.mlp_dim,
+            pool_layers=self.pool_layers, dtype=self.dtype,
             attn_impl=self.attn_impl, name="transformer",
         )(x)
         x = x.mean(axis=1)

@@ -84,3 +84,24 @@ def test_trainer_min_lr_schedule(tmp_path):
                  sample_input=np.zeros((2, 16, 16, 3), np.float32),
                  mesh=make_mesh(data=1, devices=jax.devices()[:1]))
     assert float(tr.schedule(10_000)) == pytest.approx(cfg.min_lr, rel=1e-3)
+
+
+def test_curve_pair_pooling():
+    from sfc_vit_tpu.models.simple_vit import curve_pair_pool
+
+    x = jnp.arange(2 * 8 * 4, dtype=jnp.float32).reshape(2, 8, 4)
+    y = curve_pair_pool(x)
+    assert y.shape == (2, 4, 4)
+    np.testing.assert_allclose(
+        np.asarray(y[0, 0]), np.asarray((x[0, 0] + x[0, 1]) / 2)
+    )
+    # full model with pooling after layers 0 and 1: 64 -> 16 tokens
+    m = models.CurveViT(
+        image_size=32, patch_size=4, num_classes=4, dim=32, depth=3,
+        heads=2, mlp_dim=64, dim_head=16, curve="hilbert",
+        pool_layers=(0, 1), attn_impl="xla",
+    )
+    xi = _x(hw=32)
+    p = m.init(jax.random.key(0), xi)["params"]
+    out = m.apply({"params": p}, xi)
+    assert out.shape == (2, 4) and np.isfinite(np.asarray(out)).all()
