@@ -24,8 +24,8 @@ from .tokenizers import (
     PixelCurveEmbedding1D,
 )
 
-__all__ = ["ModelConfig", "build_tokenizer", "build_model",
-           "TOKENIZER_FAMILIES", "MODEL_FAMILIES"]
+__all__ = ["ModelConfig", "build_tokenizer", "build_model", "PRESETS",
+           "preset_config", "TOKENIZER_FAMILIES", "MODEL_FAMILIES"]
 
 TOKENIZER_FAMILIES = ("2d", "1d", "hierarchical")
 MODEL_FAMILIES = ("vit", "vit1d", "hier", "simple", "curvevit")
@@ -56,6 +56,33 @@ class ModelConfig:
         import jax.numpy as jnp
 
         return None if self.dtype is None else jnp.dtype(self.dtype)
+
+
+#: Named operating points (BASELINE.json configs + standard ViT sizes).
+PRESETS = {
+    # the reference's main.py flagship (main.py:269-314)
+    "flagship": dict(model="vit1d", tokenizer="hierarchical", curve="morton",
+                     img_size=32, patch_size_list=(16, 4, 1), embed_dim=256,
+                     depth=8, n_heads=4, mlp_dim=512),
+    # hilbert.ipynb notebook comparison setup
+    "notebook": dict(model="vit", tokenizer="2d", curve="hilbert",
+                     img_size=32, patch_size=4, embed_dim=256, depth=6,
+                     n_heads=4, mlp_dim=256),
+    "vit-tiny-4": dict(model="curvevit", img_size=32, patch_size=4,
+                       embed_dim=192, depth=12, n_heads=3, mlp_dim=768),
+    "vit-s-16": dict(model="curvevit", img_size=224, patch_size=16,
+                     embed_dim=384, depth=12, n_heads=6, mlp_dim=1536),
+    "vit-b-16": dict(model="curvevit", img_size=224, patch_size=16,
+                     embed_dim=768, depth=12, n_heads=12, mlp_dim=3072),
+}
+
+
+def preset_config(name: str, **overrides) -> ModelConfig:
+    """A ModelConfig from a named preset, with field overrides."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    merged = {**PRESETS[name], **overrides}
+    return ModelConfig(**merged)
 
 
 def build_tokenizer(cfg: ModelConfig, return_levels: bool = False):
