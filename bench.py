@@ -67,6 +67,53 @@ def _throughput(model, params, x, iters: int) -> float:
     return x.shape[0] * iters / min(times)
 
 
+def _train_throughput(curve, args, x, dtype, jax) -> float:
+    """Full training-step throughput (fwd+bwd+AdamW+mixing) via lax.scan."""
+    import jax.numpy as jnp
+    import numpy as _np
+    from jax import lax
+
+    from sfc_vit_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        warmup_cosine,
+    )
+
+    classes = 10 if args.quick else 1000
+    model = _build(curve, args.quick, args.attn_impl, dtype)
+    sched = warmup_cosine(3e-4, 10, 1000)
+    state = create_train_state(
+        model, jax.random.key(0), x[:2].astype(jnp.float32),
+        make_optimizer(sched),
+    )
+    step = make_train_step(num_classes=classes, schedule=sched)
+    y = jnp.zeros((x.shape[0],), jnp.int32)
+    xf = x.astype(jnp.float32)
+    iters = args.iters
+
+    @jax.jit
+    def run(state, xf, y, key):
+        def body(carry, i):
+            st, _ = carry
+            st, metrics = step(st, (xf, y), jax.random.fold_in(key, i))
+            return (st, metrics["loss"]), None
+
+        (st, loss), _ = lax.scan(
+            body, (state, jnp.float32(0)), jnp.arange(iters)
+        )
+        return loss
+
+    key = jax.random.key(1)
+    _np.asarray(jax.device_get(run(state, xf, y, key)))  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _np.asarray(jax.device_get(run(state, xf, y, key)))
+        times.append(time.perf_counter() - t0)
+    return x.shape[0] * iters / min(times)
+
+
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
@@ -77,6 +124,8 @@ def main(argv=None) -> dict:
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--platform", default=None)
+    p.add_argument("--train", action="store_true",
+                   help="measure training-step throughput instead")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -97,6 +146,16 @@ def main(argv=None) -> dict:
 
     results = {}
     for curve in ("raster", args.curve):
+        if args.train:
+            results[curve] = _train_throughput(
+                curve, args, x, dtype, jax
+            )
+            print(
+                f"# {curve:8s} {results[curve]:12.1f} train images/sec "
+                f"(backend={jax.default_backend()}, batch={batch})",
+                file=sys.stderr,
+            )
+            continue
         model = _build(curve, args.quick, args.attn_impl, dtype)
         params = model.init({"params": jax.random.key(0)}, x[:1])["params"]
         if dtype is not None:
@@ -115,10 +174,11 @@ def main(argv=None) -> dict:
         )
 
     hil, ras = results[args.curve], results["raster"]
+    prefix = "quick" if args.quick else "vitb16"
+    if args.train:
+        prefix += "_train"
     record = {
-        "metric": f"vitb16_{args.curve}_images_per_sec"
-        if not args.quick
-        else f"quick_{args.curve}_images_per_sec",
+        "metric": f"{prefix}_{args.curve}_images_per_sec",
         "value": round(hil, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(hil / ras, 4),

@@ -33,7 +33,9 @@ def main():
             def body(c, _):
                 o = jnp.dot(a + c * 1e-24, b,
                             preferred_element_type=jnp.bfloat16)
-                return o[0, 0].astype(jnp.bfloat16), None
+                # full-output reduction: a scalar slice would let XLA
+                # dead-code-eliminate most of the GEMM
+                return o.mean().astype(jnp.bfloat16), None
 
             c, _ = lax.scan(body, jnp.zeros((), jnp.bfloat16), None,
                             length=iters)
