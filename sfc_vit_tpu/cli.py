@@ -17,8 +17,6 @@ Smoke test (no data / network needed):
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import functools
 
 import numpy as np
 

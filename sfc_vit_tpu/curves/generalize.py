@@ -16,7 +16,7 @@ These run once at model build; outputs become static LUTs.
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Tuple
 
 import numpy as np
 

@@ -10,7 +10,6 @@ tests/test_native.py).
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 import threading

@@ -15,7 +15,6 @@ changes no marginal distribution materially).
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

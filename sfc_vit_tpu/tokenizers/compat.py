@@ -8,7 +8,6 @@ for parity but inferred from the input at call time (flax lazy init).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 from .embeddings import ConvPatchEmbedding, PixelCurveEmbedding1D

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..curves import flat_lut, flat_lut_2d, pixel_lut
+from ..curves import flat_lut_2d, pixel_lut
 
 __all__ = [
     "ConvPatchEmbedding",

@@ -12,7 +12,7 @@ The reference has none (tqdm bars only); here:
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 
