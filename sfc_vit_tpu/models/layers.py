@@ -155,6 +155,7 @@ class TransformerSeqEncoder(nn.Module):
     hidden_dim: int
     n_layers: int = 1
     dropout_rate: float = 0.1
+    remat: bool = False  # jax.checkpoint each layer (memory for FLOPs)
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
@@ -162,8 +163,13 @@ class TransformerSeqEncoder(nn.Module):
     def __call__(
         self, x: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
+        layer_cls = (
+            nn.remat(TorchTransformerEncoderLayer, static_argnums=(2,))
+            if self.remat
+            else TorchTransformerEncoderLayer
+        )
         for i in range(self.n_layers):
-            x = TorchTransformerEncoderLayer(
+            x = layer_cls(
                 dim=self.dim,
                 n_heads=self.n_heads,
                 hidden_dim=self.hidden_dim,
@@ -171,7 +177,7 @@ class TransformerSeqEncoder(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"layer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         return x
 
 

@@ -142,18 +142,21 @@ class PreNormTransformer(nn.Module):
     dim_head: int
     mlp_dim: int
     pool_layers: tuple = ()
+    remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        attn_cls = nn.remat(_PreNormAttention) if self.remat else _PreNormAttention
+        ff_cls = nn.remat(_FeedForward) if self.remat else _FeedForward
         for i in range(self.depth):
-            x = _PreNormAttention(
+            x = attn_cls(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, attn_impl=self.attn_impl,
                 name=f"attn_{i}",
             )(x) + x
-            x = _FeedForward(
+            x = ff_cls(
                 dim=self.dim, hidden_dim=self.mlp_dim, dtype=self.dtype,
                 name=f"ff_{i}",
             )(x) + x

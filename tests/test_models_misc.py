@@ -105,3 +105,50 @@ def test_curve_pair_pooling():
     p = m.init(jax.random.key(0), xi)["params"]
     out = m.apply({"params": p}, xi)
     assert out.shape == (2, 4) and np.isfinite(np.asarray(out)).all()
+
+
+def test_remat_matches_no_remat():
+    """Rematerialized stacks give identical outputs and valid grads."""
+    kw = dict(image_size=16, patch_size=4, num_classes=4, dim=32, depth=2,
+              heads=2, mlp_dim=64, dim_head=16, attn_impl="xla")
+    m1 = models.SimpleViT(**kw)
+    m2 = models.SimpleViT(**kw)  # same arch
+    x = _x()
+    p = m1.init(jax.random.key(0), x)["params"]
+
+    # remat variant of the inner transformer via the flag
+    from sfc_vit_tpu.models.simple_vit import PreNormTransformer
+
+    t_plain = PreNormTransformer(dim=32, depth=2, heads=2, dim_head=16,
+                                 mlp_dim=64, attn_impl="xla")
+    t_remat = PreNormTransformer(dim=32, depth=2, heads=2, dim_head=16,
+                                 mlp_dim=64, attn_impl="xla", remat=True)
+    xt = jnp.asarray(np.random.default_rng(2).standard_normal((2, 16, 32)),
+                     dtype=jnp.float32)
+    pt = t_plain.init(jax.random.key(1), xt)["params"]
+    y1 = t_plain.apply({"params": pt}, xt)
+    y2 = t_remat.apply({"params": pt}, xt)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-6, atol=1e-6)
+    g1 = jax.grad(lambda p: jnp.sum(t_plain.apply({"params": p}, xt) ** 2))(pt)
+    g2 = jax.grad(lambda p: jnp.sum(t_remat.apply({"params": p}, xt) ** 2))(pt)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_torch_encoder_remat():
+    from sfc_vit_tpu.models import TransformerSeqEncoder
+
+    xt = jnp.asarray(np.random.default_rng(3).standard_normal((2, 16, 32)),
+                     dtype=jnp.float32)
+    enc_p = TransformerSeqEncoder(dim=32, n_heads=2, hidden_dim=64,
+                                  n_layers=2, attn_impl="xla")
+    enc_r = TransformerSeqEncoder(dim=32, n_heads=2, hidden_dim=64,
+                                  n_layers=2, attn_impl="xla", remat=True)
+    p = enc_p.init(jax.random.key(0), xt)["params"]
+    y1 = enc_p.apply({"params": p}, xt)
+    y2 = enc_r.apply({"params": p}, xt)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-6, atol=1e-6)
