@@ -173,12 +173,23 @@ def epoch_batches(
     epoch: int = 0,
     shuffle: bool = True,
     drop_last: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (uint8 images NHWC, int32 labels) batches for one epoch."""
+    """Yield (uint8 images NHWC, int32 labels) batches for one epoch.
+
+    Multi-host: each process draws the same seeded permutation and takes
+    its strided shard, so per-host batches are disjoint and the global
+    batch is ``batch_size * process_count`` (the mesh-sharded input
+    pipeline the reference has no equivalent of -- SURVEY.md 2f).
+    """
     n = len(ds)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
+    if process_count > 1:
+        order = order[process_index::process_count]
+        n = order.shape[0]
     end = n - (n % batch_size) if drop_last else n
     for i in range(0, end, batch_size):
         idx = order[i : i + batch_size]

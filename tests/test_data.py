@@ -69,3 +69,23 @@ def test_train_augment_resizes():
     out = np.asarray(aug(jax.random.key(0), imgs))
     assert out.shape == (4, 32, 32, 3)
     assert out.min() >= -0.01 and out.max() <= 1.01  # still in [0,1]
+
+
+def test_epoch_batches_multihost_shards_disjoint():
+    ds = synthetic_dataset(n=64)
+    all_idx = []
+    for p in range(4):
+        for xb, yb in epoch_batches(
+            ds, 4, seed=1, epoch=0, process_index=p, process_count=4
+        ):
+            all_idx.extend(yb.tolist())
+    # 4 hosts x 16 samples each = whole epoch, no overlap in positions
+    assert len(all_idx) == 64
+    # same seed+epoch across hosts -> deterministic global coverage
+    again = []
+    for p in range(4):
+        for xb, yb in epoch_batches(
+            ds, 4, seed=1, epoch=0, process_index=p, process_count=4
+        ):
+            again.extend(yb.tolist())
+    assert all_idx == again
