@@ -27,8 +27,9 @@ def test_flash_attention_matches_xla(n):
     )
 
 
-def test_flash_attention_grads_match_xla():
-    q, k, v = _qkv(n=64)
+@pytest.mark.parametrize("n", [64, 196])
+def test_flash_attention_grads_match_xla(n):
+    q, k, v = _qkv(n=n)
 
     def loss_flash(q, k, v):
         return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
