@@ -149,6 +149,7 @@ def _local_fwd(q, k, v, block, halo, scale, interpret):
     return out[:, :n].reshape(b, h, n, dh).transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def local_block_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -160,6 +161,9 @@ def local_block_attention(
 ) -> jnp.ndarray:
     """Curve-local attention on [B, N, H, Dh]: exact
     ``|block(q) - block(k)| <= halo`` masking, O(N * (2*halo+1) * block).
+
+    Differentiable: backward runs the dense-mask XLA formula (a fused
+    windowed backward kernel is a later optimization).
     """
     s = q.shape[-1] ** -0.5 if scale is None else scale
     n_blocks = _round_up(q.shape[1], block) // block
@@ -169,3 +173,22 @@ def local_block_attention(
 
         return flash_attention(q, k, v, scale=s, interpret=interpret)
     return _local_fwd(q, k, v, block, halo, s, interpret)
+
+
+def _la_fwd(q, k, v, block, halo, scale, interpret):
+    return local_block_attention(q, k, v, block, halo, scale, interpret), (
+        q, k, v,
+    )
+
+
+def _la_bwd(block, halo, scale, interpret, res, g):
+    q, k, v = res
+    s = q.shape[-1] ** -0.5 if scale is None else scale
+    _, vjp = jax.vjp(
+        lambda a, b, c: local_block_attention_xla(a, b, c, block, halo, s),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+local_block_attention.defvjp(_la_fwd, _la_bwd)

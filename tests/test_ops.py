@@ -195,3 +195,26 @@ def test_fused_conv_tokenizer_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
         )
+
+
+def test_local_attention_grads():
+    rng = np.random.default_rng(5)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 256, 2, 64)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+
+    def loss_local(q, k, v):
+        return jnp.sum(
+            local_block_attention(q, k, v, 64, 1, None, True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(local_block_attention_xla(q, k, v, 64, 1) ** 2)
+
+    g1 = jax.grad(loss_local, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
