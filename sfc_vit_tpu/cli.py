@@ -185,8 +185,11 @@ def main(argv=None) -> dict:
     )
     eval_tf = make_eval_transform(mean, std)
     aug_key = jax.random.key(args.seed + 17)
+    # resume-aware epoch counter: shuffle order and augmentation keys
+    # continue from the restored epoch, keeping runs replayable.
+    epoch_holder = [trainer.start_epoch]
 
-    def train_epoch_data(epoch_holder=[0]):
+    def train_epoch_data():
         epoch = epoch_holder[0]
         epoch_holder[0] += 1
         count = 0

@@ -49,25 +49,28 @@ def _curve_name(curve: CurveLike) -> str:
 
 
 @lru_cache(maxsize=None)
-def _coords_cached(name: str, width: int, height: int) -> np.ndarray:
+def _coords_cached(name: str, d0: int, d1: int) -> np.ndarray:
+    """Ordered cells with coords[:, 0] in [0, d0) and coords[:, 1] in
+    [0, d1) -- one convention for every branch (non-square safe)."""
     if name == "onion":
         # The tokenizers use the direct spiral walk, not embed-and-prune
         # (whose onion path yields duplicate cells -- see generalize.py).
-        # onion_cells already returns (row, col) in the (i, j) convention.
-        return onion_cells(height, width)
+        # onion_cells(rows=d0, cols=d1) returns (row, col) pairs.
+        return onion_cells(d0, d1)
     if name == "raster":
-        # Row-major (row, col) enumeration, so flat/pixel LUTs are the
-        # identity -- the reference raster baselines apply *no* reorder
+        # Row-major enumeration, so flat/pixel LUTs are the identity --
+        # the reference raster baselines apply *no* reorder
         # (``_1D/zigzag_embedding1D.py:31-39``, ``multiscale/multi_zigzag.py``).
-        n = width * height
+        n = d0 * d1
         flat = np.arange(n, dtype=np.int32)
-        return np.stack([flat // width, flat % width], axis=1).astype(np.int32)
-    cells = embed_and_prune_sfc(CURVE_REGISTRY[name], width, height)
+        return np.stack([flat // d1, flat % d1], axis=1).astype(np.int32)
+    cells = embed_and_prune_sfc(CURVE_REGISTRY[name], d0, d1)
     return np.asarray(cells, dtype=np.int32)
 
 
 def curve_coords(curve: CurveLike, width: int, height: int) -> np.ndarray:
-    """Ordered integer (i, j) cells of a curve over a W x H grid, [N, 2] int32."""
+    """Ordered integer (i, j) cells of a curve over a W x H grid,
+    [N, 2] int32, with i in [0, width) and j in [0, height)."""
     return _coords_cached(_curve_name(curve), int(width), int(height)).copy()
 
 

@@ -103,7 +103,8 @@ def color_jitter(
         f = jax.random.uniform(
             kc, minval=max(0.0, 1 - contrast), maxval=1 + contrast
         )
-        img = (img - _rgb_to_gray(img).mean()) * f + _rgb_to_gray(img).mean()
+        gray_mean = _rgb_to_gray(img).mean()
+        img = (img - gray_mean) * f + gray_mean
     if saturation > 0:
         f = jax.random.uniform(
             ks, minval=max(0.0, 1 - saturation), maxval=1 + saturation

@@ -188,8 +188,11 @@ def epoch_batches(
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
     if process_count > 1:
-        order = order[process_index::process_count]
-        n = order.shape[0]
+        # equal shard length on every host (truncate the remainder) so
+        # all processes run the same number of collective steps.
+        per_host = n // process_count
+        order = order[process_index::process_count][:per_host]
+        n = per_host
     end = n - (n % batch_size) if drop_last else n
     for i in range(0, end, batch_size):
         idx = order[i : i + batch_size]

@@ -88,19 +88,30 @@ class TorchMultiHeadAttention(nn.Module):
         q = q.reshape(b, n, self.n_heads, dh)
         k = k.reshape(b, n, self.n_heads, dh)
         v = v.reshape(b, n, self.n_heads, dh)
-        if self.is_mutable_collection("intermediates"):
-            # observability path: apply with mutable=['intermediates'] to
-            # capture per-head attention maps (cf. the reference's
-            # commented-out CustomTransformerEncoderLayer, vit.py:48-174).
+        needs_weights = self.is_mutable_collection("intermediates")
+        apply_weight_dropout = self.dropout_rate > 0.0 and not deterministic
+        if needs_weights or apply_weight_dropout:
+            # Explicit-weights path: (a) observability -- apply with
+            # mutable=['intermediates'] to capture per-head maps (cf. the
+            # reference's commented-out CustomTransformerEncoderLayer,
+            # vit.py:48-174); (b) training with dropout -- torch
+            # nn.MultiheadAttention drops attention *probabilities*, so
+            # parity requires dropout on the weights, not the output.
             from ..ops.attention import attention_with_weights
 
             out, weights = attention_with_weights(q, k, v)
-            self.sow("intermediates", "attention_weights", weights)
+            if needs_weights:
+                self.sow("intermediates", "attention_weights", weights)
+            if apply_weight_dropout:
+                weights = nn.Dropout(self.dropout_rate)(
+                    weights, deterministic=False
+                )
+                out = jnp.einsum(
+                    "bhnm,bmhd->bnhd", weights.astype(v.dtype), v
+                )
         else:
             out = multi_head_attention(q, k, v, implementation=self.attn_impl)
         out = out.reshape(b, n, d)
-        if self.dropout_rate > 0.0:
-            out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -126,6 +137,7 @@ class TorchTransformerEncoderLayer(nn.Module):
         attn = TorchMultiHeadAttention(
             dim=self.dim,
             n_heads=self.n_heads,
+            dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="self_attn",

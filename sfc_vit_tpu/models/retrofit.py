@@ -164,12 +164,18 @@ def resize_pos_embedding(
     return np.concatenate([cls_row, resized], axis=1)
 
 
+#: Head counts for torchvision ViT widths whose head_dim is not 64
+#: (vit_h_14 uses 16 heads of dim 80); everything else infers dim // 64.
+_TORCHVISION_HEADS = {1280: 16}
+
+
 def load_torchvision_vit(
     state_dict: Dict[str, Any],
     image_size: int = 224,
     num_classes: Optional[int] = None,
     curve: str = "hilbert",
     posemb: str = "learned",
+    n_heads: Optional[int] = None,
     dtype=None,
     attn_impl: str = "auto",
     rng: Optional[jax.Array] = None,
@@ -205,7 +211,10 @@ def load_torchvision_vit(
     mlp_dim = g(f"encoder.layers.encoder_layer_0.{mlp_key}.weight").shape[0]
     patch = g("conv_proj.weight").shape[-1]
     ckpt_classes = g("heads.head.weight").shape[0]
-    n_heads = dim // 64
+    if n_heads is None:
+        # Head count is not recoverable from the packed weights; infer
+        # from known torchvision widths, else assume head_dim 64.
+        n_heads = _TORCHVISION_HEADS.get(dim, dim // 64)
 
     model = RetrofitViT(
         image_size=image_size, patch_size=patch, dim=dim, depth=depth,

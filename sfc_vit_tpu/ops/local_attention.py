@@ -167,8 +167,10 @@ def local_block_attention(
     """
     s = q.shape[-1] ** -0.5 if scale is None else scale
     n_blocks = _round_up(q.shape[1], block) // block
-    if n_blocks <= 2 * halo + 1:
-        # window covers everything -> dense attention is exact & simpler
+    if n_blocks <= halo + 1:
+        # every block is within halo of every other -> the mask is dense
+        # and plain attention is exact (n_blocks <= 2*halo+1 is NOT
+        # sufficient: the two end blocks would still be masked apart).
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=s, interpret=interpret)

@@ -91,6 +91,11 @@ def build_tokenizer(cfg: ModelConfig, return_levels: bool = False):
             f"unknown curve {cfg.curve!r}; available: "
             f"{sorted(CURVE_REGISTRY) + ['random']}"
         )
+    if cfg.curve == "random" and cfg.tokenizer != "2d":
+        raise ValueError(
+            "curve='random' (the per-call shuffle ablation) is only "
+            "implemented by the 2d tokenizer family"
+        )
     dtype = cfg.jax_dtype()
     if cfg.tokenizer == "2d":
         return ConvPatchEmbedding(

@@ -124,8 +124,12 @@ class HierarchicalCurveEmbedding(nn.Module):
 
     @property
     def patch_list(self) -> List[int]:
+        # Exact per-level token counts (grid^2 // g).  The reference
+        # computes ((img//pre) // sqrt(g))**2 (multi_morton.py:21-22),
+        # which only equals this for perfect-square group sizes -- its
+        # shipped configs all use them, so parity is unaffected.
         return [
-            int(((self.img_size // pre) // np.sqrt(g)) ** 2)
+            (self.img_size // pre) ** 2 // g
             for pre, g in zip(self.pre_patch_sizes, self.patch_size_list)
         ]
 

@@ -1,10 +1,17 @@
 """Orbax checkpointing: best + periodic policies, with real restore.
 
 The reference only ever saves (best-test-acc dict at ``main.py:337-355``;
-no load path exists anywhere).  Here both policies run through one Orbax
-``CheckpointManager`` and training can resume from the latest step
-(SURVEY.md section 5 "failure detection": checkpoint/resume is the
-pragmatic recovery story).
+no load path exists anywhere).  Here two Orbax managers cover both
+policies correctly:
+
+* ``latest/`` keeps the ``keep`` most recent checkpoints -- crash
+  recovery always resumes from the true latest step;
+* ``best/`` keeps the single best checkpoint by ``metric_name`` (the
+  reference's best-test-accuracy policy).
+
+(A single manager with ``best_fn`` + ``max_to_keep`` would retain the K
+*best* checkpoints and delete newer ones, silently rolling resume back
+to the accuracy peak.)
 """
 
 from __future__ import annotations
@@ -18,12 +25,7 @@ __all__ = ["Checkpointer"]
 
 
 class Checkpointer:
-    """Manage train-state checkpoints under ``directory``.
-
-    Keeps the ``keep`` most recent periodic checkpoints plus the best one
-    by ``metric_name`` (higher is better, matching the reference's
-    best-test-accuracy policy).
-    """
+    """Manage train-state checkpoints under ``directory``."""
 
     def __init__(
         self,
@@ -34,50 +36,65 @@ class Checkpointer:
     ) -> None:
         self.directory = pathlib.Path(directory).absolute()
         self.metric_name = metric_name
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=keep,
-            best_fn=lambda m: float(m.get(metric_name, float("-inf"))),
-            best_mode="max",
-            save_interval_steps=save_interval_steps,
-            create=True,
+        self._latest = ocp.CheckpointManager(
+            self.directory / "latest",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+            ),
         )
-        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._best = ocp.CheckpointManager(
+            self.directory / "best",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
+                best_fn=lambda m: float(
+                    m.get(metric_name, float("-inf"))
+                ),
+                best_mode="max",
+                create=True,
+            ),
+        )
 
     def save(
         self, step: int, state: Any, metrics: Optional[Dict[str, float]] = None
     ) -> bool:
-        saved = self._mgr.save(
-            step,
-            args=ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        saved = self._latest.save(
+            step, args=ocp.args.StandardSave(state), metrics=metrics
+        )
+        self._best.save(
+            step, args=ocp.args.StandardSave(state), metrics=metrics
         )
         return bool(saved)
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         """Restore the given (or latest) step into the template pytree."""
-        step = self._mgr.latest_step() if step is None else step
+        step = self._latest.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return self._mgr.restore(
+        return self._latest.restore(
             step, args=ocp.args.StandardRestore(state_template)
         )
 
     def restore_best(self, state_template: Any) -> Any:
-        step = self._mgr.best_step()
+        step = self._best.best_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return self._mgr.restore(
+        return self._best.restore(
             step, args=ocp.args.StandardRestore(state_template)
         )
 
     def latest_step(self) -> Optional[int]:
-        return self._mgr.latest_step()
+        return self._latest.latest_step()
 
     def best_step(self) -> Optional[int]:
-        return self._mgr.best_step()
+        return self._best.best_step()
 
     def wait(self) -> None:
-        self._mgr.wait_until_finished()
+        self._latest.wait_until_finished()
+        self._best.wait_until_finished()
 
     def close(self) -> None:
-        self._mgr.close()
+        self._latest.close()
+        self._best.close()

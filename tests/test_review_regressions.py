@@ -1,0 +1,120 @@
+"""Regressions for the round-1 code-review findings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu.curves import pixel_lut
+from sfc_vit_tpu.data import epoch_batches, synthetic_dataset
+from sfc_vit_tpu.ops.local_attention import (
+    local_block_attention,
+    local_block_attention_xla,
+)
+from sfc_vit_tpu.registry import ModelConfig, build_model
+from sfc_vit_tpu.tokenizers import HierarchicalCurveEmbedding
+
+
+def test_local_attention_three_block_regime_masked():
+    """n_blocks in (halo+1, 2*halo+1]: dense is NOT equivalent; the
+    kernel must produce the masked result (was: silent dense fallback)."""
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 24, 1, 64)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    want = local_block_attention_xla(q, k, v, block=8, halo=1)
+    got = local_block_attention(q, k, v, block=8, halo=1, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("curve", ["onion", "raster", "hilbert", "morton"])
+def test_pixel_lut_non_square(curve):
+    """Non-square images: LUT must be an in-range permutation; raster
+    must be the identity (was: out-of-range indices for onion/raster)."""
+    for h, w in [(2, 4), (6, 3), (8, 12)]:
+        lut = pixel_lut(curve, h, w)
+        assert sorted(lut.tolist()) == list(range(h * w)), (curve, h, w)
+        if curve == "raster":
+            np.testing.assert_array_equal(lut, np.arange(h * w))
+
+
+def test_hierarchical_non_square_group_sizes():
+    """patch_list must match actual per-level token counts for any group
+    size (was: ((grid)//sqrt(g))**2 breaks non-perfect-square g)."""
+    tok = HierarchicalCurveEmbedding(
+        img_size=32, patch_size_list=(2, 1), embed_dim=16, curve="morton",
+        return_levels=True,
+    )
+    assert tok.patch_list == [512, 256]
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = tok.init(jax.random.key(0), x)["params"]
+    levels = tok.apply({"params": params}, x)
+    assert [t.shape[1] for t in levels] == tok.patch_list
+    # fused variant must also concatenate cleanly
+    tok2 = HierarchicalCurveEmbedding(
+        img_size=32, patch_size_list=(2, 1), embed_dim=16, curve="morton"
+    )
+    p2 = tok2.init(jax.random.key(0), x)["params"]
+    y = tok2.apply({"params": p2}, x)
+    assert y.shape == (1, 512, 32)
+
+
+def test_checkpointer_latest_survives_best_peak(tmp_path):
+    """latest_step() must track the true latest save even when the best
+    metric peaked earlier (was: best_fn pruned newer checkpoints)."""
+    from sfc_vit_tpu.training import Checkpointer
+
+    ckpt = Checkpointer(tmp_path, keep=2)
+    state = {"w": np.arange(4.0)}
+    accs = [0.3, 0.9, 0.5, 0.4, 0.2]  # peak at step 2
+    for step, acc in enumerate(accs, start=1):
+        ckpt.save(step, {"w": state["w"] + step},
+                  {"test_accuracy": acc})
+    ckpt.wait()
+    assert ckpt.latest_step() == 5
+    assert ckpt.best_step() == 2
+    restored = ckpt.restore({"w": np.zeros(4)})
+    np.testing.assert_array_equal(restored["w"], state["w"] + 5)
+    best = ckpt.restore_best({"w": np.zeros(4)})
+    np.testing.assert_array_equal(best["w"], state["w"] + 2)
+    ckpt.close()
+
+
+def test_mha_weight_dropout_is_stochastic():
+    """Training-mode attention dropout acts on the weights and varies
+    with the dropout key (was: silently absent)."""
+    from sfc_vit_tpu.models import TorchMultiHeadAttention
+
+    mha = TorchMultiHeadAttention(dim=32, n_heads=2, dropout_rate=0.5,
+                                  attn_impl="xla")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 32)),
+                    dtype=jnp.float32)
+    p = mha.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 x, deterministic=False)["params"]
+    y_eval = mha.apply({"params": p}, x, deterministic=True)
+    y1 = mha.apply({"params": p}, x, deterministic=False,
+                   rngs={"dropout": jax.random.key(2)})
+    y2 = mha.apply({"params": p}, x, deterministic=False,
+                   rngs={"dropout": jax.random.key(3)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    assert not np.allclose(np.asarray(y1), np.asarray(y_eval))
+
+
+def test_registry_rejects_random_for_1d():
+    with pytest.raises(ValueError, match="only.*2d"):
+        build_model(ModelConfig(tokenizer="1d", curve="random"))
+
+
+def test_epoch_batches_equal_steps_across_hosts():
+    """Uneven dataset sizes must still give every host the same number
+    of batches (was: collective desync)."""
+    ds = synthetic_dataset(n=1023)
+    counts = [
+        sum(1 for _ in epoch_batches(ds, 256, process_index=p,
+                                     process_count=2))
+        for p in range(2)
+    ]
+    assert counts[0] == counts[1]
