@@ -1,6 +1,6 @@
 """Parallelism: meshes, shardings, collectives (new vs the reference)."""
 
-from .sequence import sequence_parallel_attention
+from .sequence import ring_attention, sequence_parallel_attention
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -24,4 +24,5 @@ __all__ = [
     "replicated",
     "shard_batch",
     "sequence_parallel_attention",
+    "ring_attention",
 ]

@@ -83,3 +83,36 @@ def test_prefetch_propagates_errors():
     next(it)
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_ring_attention_matches_dense():
+    from sfc_vit_tpu.parallel.sequence import ring_attention
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(1)
+    b, n, h, dh = 2, 64, 2, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n, h, dh)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    want = dot_product_attention_xla(q, k, v)
+    got = ring_attention(mesh, q, k, v, axis="model")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_ring_attention_2dev_bf16():
+    from sfc_vit_tpu.parallel.sequence import ring_attention
+
+    mesh = make_mesh(data=4, model=2)
+    rng = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 32, 2, 16)), dtype=jnp.bfloat16)
+        for _ in range(3)
+    )
+    want = dot_product_attention_xla(q, k, v).astype(jnp.float32)
+    got = ring_attention(mesh, q, k, v, axis="model").astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
