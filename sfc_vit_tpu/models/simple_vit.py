@@ -142,6 +142,8 @@ class PreNormTransformer(nn.Module):
     dim_head: int
     mlp_dim: int
     pool_layers: tuple = ()
+    merge_layers: tuple = ()  # data-dependent top-k pair merging
+    merge_ratio: float = 0.5
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
@@ -162,6 +164,10 @@ class PreNormTransformer(nn.Module):
             )(x) + x
             if i in self.pool_layers:
                 x = curve_pair_pool(x)
+            if i in self.merge_layers:
+                from ..ops.token_merge import curve_pair_merge_topk
+
+                x = curve_pair_merge_topk(x, self.merge_ratio)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 

@@ -152,3 +152,16 @@ def test_torch_encoder_remat():
     y2 = enc_r.apply({"params": p}, xt)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_merge_layers_in_transformer():
+    from sfc_vit_tpu.models.simple_vit import PreNormTransformer
+
+    t = PreNormTransformer(dim=32, depth=2, heads=2, dim_head=16,
+                           mlp_dim=64, merge_layers=(0,), merge_ratio=0.5,
+                           attn_impl="xla")
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 32, 32)),
+                    dtype=jnp.float32)
+    p = t.init(jax.random.key(0), x)["params"]
+    y = t.apply({"params": p}, x)
+    assert y.shape == (2, 24, 32)  # 32 - 16*0.5 = 24 tokens

@@ -218,3 +218,41 @@ def test_local_attention_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+# ---------------- curve token merging ----------------
+
+from sfc_vit_tpu.ops.token_merge import curve_pair_merge_topk
+
+
+def test_curve_pair_merge_topk_semantics():
+    # pairs: (identical), (orthogonal) -> identical pair must merge
+    x = jnp.asarray([[
+        [1.0, 0.0], [1.0, 0.0],   # pair 0: identical (sim 1)
+        [0.0, 1.0], [1.0, 0.0],   # pair 1: orthogonal (sim 0)
+    ]])
+    out = curve_pair_merge_topk(x, merge_ratio=0.5)  # k=1
+    assert out.shape == (1, 3, 2)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [1.0, 0.0])  # merged
+    np.testing.assert_allclose(np.asarray(out[0, 1]), [0.0, 1.0])  # kept x0
+    np.testing.assert_allclose(np.asarray(out[0, 2]), [1.0, 0.0])  # kept x1
+
+
+def test_curve_pair_merge_topk_counts_and_grads():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 64, 16)), dtype=jnp.float32)
+    out = curve_pair_merge_topk(x, merge_ratio=0.25)  # k = 8
+    assert out.shape == (3, 56, 16)
+    out2 = jax.jit(lambda v: curve_pair_merge_topk(v, 0.25))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-6)
+    g = jax.grad(lambda v: jnp.sum(curve_pair_merge_topk(v, 0.25) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_curve_pair_merge_zero_ratio_identity():
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 8, 4)),
+                    dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(curve_pair_merge_topk(x, 0.0)), np.asarray(x)
+    )
