@@ -234,19 +234,26 @@ def _flash_bwd(q, k, v, g, scale, block_q=128, interpret=False):
     )
 
 
+def _auto_block_q(n: int) -> int:
+    """Measured on v5e (RESULTS.md): larger q-tiles win at long
+    sequences (4.47 vs 4.72 ms at N=4096 for 512 vs 128)."""
+    return 512 if n >= 2048 else 128
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 128,
+    block_q: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused TPU attention on [B, N, H, Dh]; numerically matches
     :func:`~sfc_vit_tpu.ops.attention.dot_product_attention_xla`."""
     s = q.shape[-1] ** -0.5 if scale is None else scale
-    return _flash_fwd(q, k, v, s, block_q=block_q, interpret=interpret)
+    bq = _auto_block_q(q.shape[1]) if block_q is None else block_q
+    return _flash_fwd(q, k, v, s, block_q=bq, interpret=interpret)
 
 
 def _fa_fwd(q, k, v, scale, block_q, interpret):
@@ -256,7 +263,8 @@ def _fa_fwd(q, k, v, scale, block_q, interpret):
 def _fa_bwd(scale, block_q, interpret, res, g):
     q, k, v = res
     s = q.shape[-1] ** -0.5 if scale is None else scale
-    return _flash_bwd(q, k, v, g, s, block_q=block_q, interpret=interpret)
+    bq = _auto_block_q(q.shape[1]) if block_q is None else block_q
+    return _flash_bwd(q, k, v, g, s, block_q=bq, interpret=interpret)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
