@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "sincos1d", "gfpe", "learned"])
     m.add_argument("--dtype", default=None,
                    help="compute dtype, e.g. bfloat16")
+    m.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder layers (memory for FLOPs)")
     m.add_argument("--fused-tokenizer", action="store_true",
                    help="use the Pallas fused gather+GEMM tokenizer")
     m.add_argument("--attn-impl", default="auto",
@@ -133,7 +135,7 @@ def main(argv=None) -> dict:
         patch_size_list=tuple(args.patch_size_list),
         embed_dim=args.embed_dim, depth=args.depth, n_heads=args.heads,
         mlp_dim=args.mlp_dim, num_classes=train_ds.num_classes,
-        posemb=args.posemb, fused=args.fused_tokenizer,
+        posemb=args.posemb, remat=args.remat, fused=args.fused_tokenizer,
         dtype=args.dtype, attn_impl=args.attn_impl,
     )
     model = build_model(mcfg)

@@ -183,6 +183,7 @@ class SimpleViT(nn.Module):
     heads: int
     mlp_dim: int
     dim_head: int = 64
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
@@ -200,8 +201,8 @@ class SimpleViT(nn.Module):
         x = x + jnp.asarray(sincos_1d(n, self.dim), dtype=x.dtype)
         x = PreNormTransformer(
             dim=self.dim, depth=self.depth, heads=self.heads,
-            dim_head=self.dim_head, mlp_dim=self.mlp_dim, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="transformer",
+            dim_head=self.dim_head, mlp_dim=self.mlp_dim, remat=self.remat,
+            dtype=self.dtype, attn_impl=self.attn_impl, name="transformer",
         )(x)
         x = x.mean(axis=1)
         return nn.Dense(self.num_classes, dtype=self.dtype,
@@ -227,6 +228,9 @@ class CurveViT(nn.Module):
     temperature: float = 4.0
     h_param: float = 3.0
     pool_layers: tuple = ()  # curve-native token reduction after these layers
+    merge_layers: tuple = ()
+    merge_ratio: float = 0.5
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
@@ -246,8 +250,9 @@ class CurveViT(nn.Module):
         x = PreNormTransformer(
             dim=self.dim, depth=self.depth, heads=self.heads,
             dim_head=self.dim_head, mlp_dim=self.mlp_dim,
-            pool_layers=self.pool_layers, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="transformer",
+            pool_layers=self.pool_layers, merge_layers=self.merge_layers,
+            merge_ratio=self.merge_ratio, remat=self.remat,
+            dtype=self.dtype, attn_impl=self.attn_impl, name="transformer",
         )(x)
         x = x.mean(axis=1)
         return nn.Dense(self.num_classes, dtype=self.dtype,

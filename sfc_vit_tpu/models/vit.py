@@ -68,6 +68,7 @@ class VisionTransformer(nn.Module):
     num_classes: int = 10
     dropout_rate: float = 0.1
     posemb: str = "none"
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
@@ -83,6 +84,7 @@ class VisionTransformer(nn.Module):
             hidden_dim=self.mlp_dim,
             n_layers=self.depth,
             dropout_rate=self.dropout_rate,
+            remat=self.remat,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="encoder",
@@ -112,6 +114,7 @@ class VisionTransformer1D(nn.Module):
     num_classes: int = 10
     dropout_rate: float = 0.1
     posemb: str = "none"
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
@@ -136,6 +139,7 @@ class VisionTransformer1D(nn.Module):
             hidden_dim=self.mlp_dim,
             n_layers=self.depth,
             dropout_rate=self.dropout_rate,
+            remat=self.remat,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="encoder",
@@ -165,6 +169,7 @@ class HierarchicalVisionTransformer1D(nn.Module):
     mlp_dim: int = 256
     num_classes: int = 10
     dropout_rate: float = 0.1
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
 
@@ -186,6 +191,7 @@ class HierarchicalVisionTransformer1D(nn.Module):
                     hidden_dim=self.mlp_dim,
                     n_layers=self.depth,
                     dropout_rate=self.dropout_rate,
+                    remat=self.remat,
                     dtype=self.dtype,
                     attn_impl=self.attn_impl,
                     name=f"encoder_{i}",

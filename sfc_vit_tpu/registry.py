@@ -48,6 +48,7 @@ class ModelConfig:
     dim_head: int = 64
     num_classes: int = 10
     posemb: str = "none"          # family-A positional registry
+    remat: bool = False           # jax.checkpoint encoder layers
     fused: bool = False           # Pallas fused gather+GEMM tokenizers
     dtype: Optional[str] = None   # e.g. "bfloat16"
     attn_impl: str = "auto"
@@ -128,28 +129,29 @@ def build_model(cfg: ModelConfig):
             image_size=cfg.img_size, patch_size=cfg.patch_size,
             num_classes=cfg.num_classes, dim=cfg.embed_dim, depth=cfg.depth,
             heads=cfg.n_heads, mlp_dim=cfg.mlp_dim, dim_head=cfg.dim_head,
-            dtype=dtype, attn_impl=cfg.attn_impl,
+            remat=cfg.remat, dtype=dtype, attn_impl=cfg.attn_impl,
         )
     if cfg.model == "curvevit":
         return CurveViT(
             image_size=cfg.img_size, patch_size=cfg.patch_size,
             num_classes=cfg.num_classes, dim=cfg.embed_dim, depth=cfg.depth,
             heads=cfg.n_heads, mlp_dim=cfg.mlp_dim, dim_head=cfg.dim_head,
-            curve=cfg.curve, dtype=dtype, attn_impl=cfg.attn_impl,
+            curve=cfg.curve, remat=cfg.remat, dtype=dtype,
+            attn_impl=cfg.attn_impl,
         )
     if cfg.model == "vit":
         return VisionTransformer(
             patch_embed=build_tokenizer(cfg), depth=cfg.depth,
             n_heads=cfg.n_heads, mlp_dim=cfg.mlp_dim,
-            num_classes=cfg.num_classes, posemb=cfg.posemb, dtype=dtype,
-            attn_impl=cfg.attn_impl,
+            num_classes=cfg.num_classes, posemb=cfg.posemb,
+            remat=cfg.remat, dtype=dtype, attn_impl=cfg.attn_impl,
         )
     if cfg.model == "vit1d":
         return VisionTransformer1D(
             patch_embed=build_tokenizer(cfg), depth=cfg.depth,
             n_heads=cfg.n_heads, mlp_dim=cfg.mlp_dim,
-            num_classes=cfg.num_classes, posemb=cfg.posemb, dtype=dtype,
-            attn_impl=cfg.attn_impl,
+            num_classes=cfg.num_classes, posemb=cfg.posemb,
+            remat=cfg.remat, dtype=dtype, attn_impl=cfg.attn_impl,
         )
     if cfg.model == "hier":
         if cfg.tokenizer != "hierarchical":
@@ -157,7 +159,8 @@ def build_model(cfg: ModelConfig):
         return HierarchicalVisionTransformer1D(
             patch_embed=build_tokenizer(cfg, return_levels=True),
             depth=cfg.depth, n_heads=cfg.n_heads, mlp_dim=cfg.mlp_dim,
-            num_classes=cfg.num_classes, dtype=dtype, attn_impl=cfg.attn_impl,
+            num_classes=cfg.num_classes, remat=cfg.remat, dtype=dtype,
+            attn_impl=cfg.attn_impl,
         )
     raise KeyError(
         f"unknown model family {cfg.model!r}; available: {MODEL_FAMILIES}"
