@@ -72,6 +72,29 @@ def dot_product_attention_xla(
     return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
 
 
+def dot_product_attention_bf16(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Fast path: softmax in the input dtype (no fp32 round-trip).
+
+    Profiling at ViT-B shapes showed the fp32 softmax converts/reductions
+    are ~50% of per-layer device time (TODO.md); this variant is ~13%
+    faster on attention at the cost of bf16 softmax precision.  Opt-in
+    (``implementation='xla_bf16'``) -- it diverges from the fp32 torch
+    parity the default keeps.
+    """
+    dh = q.shape[-1]
+    scale = dh ** -0.5 if scale is None else scale
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * jnp.asarray(
+        scale, q.dtype
+    )
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+
+
 def _pallas_available(q: jnp.ndarray) -> bool:
     if jax.default_backend() != "tpu":
         return False
@@ -97,6 +120,8 @@ def multi_head_attention(
     """
     if implementation == "xla":
         return dot_product_attention_xla(q, k, v, scale)
+    if implementation == "xla_bf16":
+        return dot_product_attention_bf16(q, k, v, scale)
     if implementation == "local":
         # curve-local block attention (O(N*window); see local_attention.py)
         from .local_attention import (
@@ -113,6 +138,6 @@ def multi_head_attention(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
-    if implementation not in ("auto", "xla", "pallas", "local"):
+    if implementation not in ("auto", "xla", "xla_bf16", "pallas", "local"):
         raise ValueError(f"unknown attention implementation {implementation!r}")
     return dot_product_attention_xla(q, k, v, scale)

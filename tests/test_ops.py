@@ -256,3 +256,23 @@ def test_curve_pair_merge_zero_ratio_identity():
     np.testing.assert_array_equal(
         np.asarray(curve_pair_merge_topk(x, 0.0)), np.asarray(x)
     )
+
+
+def test_bf16_softmax_attention_close_to_fp32():
+    from sfc_vit_tpu.ops.attention import (
+        dot_product_attention_bf16,
+        multi_head_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, 64, 4, 32)), dtype=jnp.bfloat16)
+        for _ in range(3)
+    )
+    want = dot_product_attention_xla(q, k, v).astype(jnp.float32)
+    got = dot_product_attention_bf16(q, k, v).astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-2, atol=5e-2
+    )
+    via = multi_head_attention(q, k, v, implementation="xla_bf16")
+    np.testing.assert_array_equal(np.asarray(via), np.asarray(got))
