@@ -126,3 +126,29 @@ def test_hamiltonian_path_property():
     assert path is not None and len(set(path)) == 35
     for a, b in zip(path, path[1:]):
         assert abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1
+
+
+@pytest.mark.parametrize(
+    "name,order",
+    [("hilbert", 5), ("hilbert", 6), ("moore", 5), ("moore", 6),
+     ("z", 5), ("z", 6), ("peano", 4)],
+)
+def test_generator_cells_high_orders(golden, name, order):
+    np.testing.assert_array_equal(
+        curve_cells(name, order), golden[f"cells_{name}_o{order}"]
+    )
+
+
+@pytest.mark.parametrize("name", ["hilbert", "z"])
+@pytest.mark.parametrize("wh", [(28, 28), (14, 14), (33, 17)])
+def test_generalizers_vitb_scale_grids(golden, name, wh):
+    """ViT-relevant grids (14=B/16@224, 28, and a large odd rect)."""
+    w, h = wh
+    np.testing.assert_array_equal(
+        np.asarray(embed_and_prune_sfc(name, w, h), dtype=np.int32),
+        golden[f"ep_{name}_{w}x{h}"],
+    )
+    got, _ = block_stitch_sfc(name, w, h)
+    np.testing.assert_array_equal(
+        np.asarray(got, dtype=np.int32), golden[f"bs_{name}_{w}x{h}"]
+    )
