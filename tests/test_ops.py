@@ -45,6 +45,59 @@ def test_flash_attention_grads_match_xla(n):
         )
 
 
+@pytest.mark.parametrize("n,block_q,block_k", [
+    (512, 128, 128),   # 4 k-steps per q tile
+    (300, 128, 128),   # ragged: n_pad_q=384, n_pad_k=384, masked tail
+    (640, 256, 128),   # block_q != block_k
+])
+def test_flash_attention_streaming_fwd_matches_xla(n, block_q, block_k):
+    """Online-softmax K-streaming path (multiple k blocks per q tile)."""
+    q, k, v = _qkv(n=n)
+    want = dot_product_attention_xla(q, k, v)
+    got = flash_attention(q, k, v, None, block_q, block_k, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_attention_streaming_fwd_lse():
+    """LSE emitted by the streaming forward matches logsumexp."""
+    from sfc_vit_tpu.ops.flash_attention import _flash_fwd
+
+    q, k, v = _qkv(n=300, b=1, h=2)
+    out, lse = _flash_fwd(q, k, v, q.shape[-1] ** -0.5, block_q=128,
+                          block_k=128, return_lse=True, interpret=True)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * q.shape[-1] ** -0.5
+    want = jax.nn.logsumexp(logits, axis=-1)  # [B,H,N]
+    want = want.reshape(2, 300)
+    got = np.asarray(lse)[:, :300, 0]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [300, 512])
+def test_flash_attention_streaming_bwd_matches_xla(n, monkeypatch):
+    """Force the long-sequence streaming backward at test-sized N."""
+    import sfc_vit_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_FUSED_BWD_MAX", 128)
+    q, k, v = _qkv(n=n)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            fa.flash_attention(q, k, v, None, 128, 128, True) ** 2
+        )
+
+    def loss_xla(q, k, v):
+        return jnp.sum(dot_product_attention_xla(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_flash_attention_bf16():
     q, k, v = _qkv(n=128, dtype=jnp.bfloat16)
     want = dot_product_attention_xla(q, k, v).astype(jnp.float32)
@@ -197,20 +250,27 @@ def test_fused_conv_tokenizer_matches_unfused():
         )
 
 
-def test_local_attention_grads():
+@pytest.mark.parametrize("n,blk,halo", [
+    (256, 64, 1),    # aligned, windowed Pallas backward
+    (300, 64, 1),    # ragged tail: padded rows/cols masked in bwd
+    (512, 64, 2),    # wider halo
+    (128, 128, 1),   # dense fallback window -> XLA-vjp path
+])
+def test_local_attention_grads(n, blk, halo):
+    """Windowed Pallas backward == dense-mask XLA grads (VERDICT r1 #4)."""
     rng = np.random.default_rng(5)
     q, k, v = (
-        jnp.asarray(rng.standard_normal((1, 256, 2, 64)), dtype=jnp.float32)
+        jnp.asarray(rng.standard_normal((1, n, 2, 64)), dtype=jnp.float32)
         for _ in range(3)
     )
 
     def loss_local(q, k, v):
         return jnp.sum(
-            local_block_attention(q, k, v, 64, 1, None, True) ** 2
+            local_block_attention(q, k, v, blk, halo, None, True) ** 2
         )
 
     def loss_ref(q, k, v):
-        return jnp.sum(local_block_attention_xla(q, k, v, 64, 1) ** 2)
+        return jnp.sum(local_block_attention_xla(q, k, v, blk, halo) ** 2)
 
     g1 = jax.grad(loss_local, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
