@@ -121,7 +121,7 @@ def main(argv=None) -> dict:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--curve", default="hilbert")
     p.add_argument("--attn-impl", default="auto",
-                   choices=["auto", "xla", "xla_bf16", "pallas", "local"])
+                   choices=["auto", "xla", "xla_bf16", "pallas", "local", "ring", "sp"])
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--platform", default=None)
     p.add_argument("--train", action="store_true",

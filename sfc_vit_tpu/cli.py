@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--fused-tokenizer", action="store_true",
                    help="use the Pallas fused gather+GEMM tokenizer")
     m.add_argument("--attn-impl", default="auto",
-                   choices=["auto", "xla", "xla_bf16", "pallas", "local"])
+                   choices=["auto", "xla", "xla_bf16", "pallas", "local", "ring", "sp"])
 
     t = p.add_argument_group("training")
     t.add_argument("--epochs", type=int, default=300)

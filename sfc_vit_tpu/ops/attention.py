@@ -132,6 +132,29 @@ def multi_head_attention(
         if jax.default_backend() == "tpu":
             return local_block_attention(q, k, v, scale=scale)
         return local_block_attention_xla(q, k, v, scale=scale)
+    if implementation in ("ring", "sp"):
+        # Sequence parallelism: token axis sharded over the ambient
+        # mesh axis (parallel/context.py).  Degrades to the local XLA
+        # path when no mesh is active, the axis is trivial, or N does
+        # not divide it -- so 'ring' models still run single-chip.
+        from ..parallel.context import active_sequence_sharding
+
+        ctx = active_sequence_sharding()
+        if ctx is not None:
+            mesh, axis = ctx
+            p = mesh.shape[axis]
+            if p > 1 and q.shape[1] % p == 0:
+                from ..parallel.sequence import (
+                    ring_attention,
+                    sequence_parallel_attention,
+                )
+
+                if implementation == "ring":
+                    return ring_attention(mesh, q, k, v, axis=axis,
+                                          scale=scale)
+                return sequence_parallel_attention(mesh, q, k, v,
+                                                   axis=axis, scale=scale)
+        return dot_product_attention_xla(q, k, v, scale)
     if implementation == "pallas" or (
         implementation == "auto" and _pallas_available(q)
     ):

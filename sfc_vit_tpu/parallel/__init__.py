@@ -1,5 +1,6 @@
 """Parallelism: meshes, shardings, collectives (new vs the reference)."""
 
+from .context import active_sequence_sharding, sequence_sharding
 from .sequence import ring_attention, sequence_parallel_attention
 from .mesh import (
     DATA_AXIS,
@@ -25,4 +26,6 @@ __all__ = [
     "shard_batch",
     "sequence_parallel_attention",
     "ring_attention",
+    "sequence_sharding",
+    "active_sequence_sharding",
 ]

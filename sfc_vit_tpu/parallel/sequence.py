@@ -107,15 +107,24 @@ def sequence_parallel_attention(
 
     Returns output sharded identically to q.  N must divide the axis
     size.  Off-mesh (axis size 1) this degenerates to local attention.
+    ``implementation`` selects the per-device attention math for the
+    local Q-slice x gathered-K/V computation ("auto" picks the flash
+    kernel on TPU; "xla"/"xla_bf16"/"pallas" force a path).
     """
-    del implementation  # local math kept simple; flash slots in later
     dh = q.shape[-1]
     s = dh ** -0.5 if scale is None else scale
+    if implementation in ("ring", "sp", "local"):
+        # 'ring'/'sp' would recurse through the dispatcher; 'local'
+        # windows assume the full sequence. Use the default local math.
+        implementation = "auto"
 
     def local(qb, kb, vb):
+        from ..ops.attention import multi_head_attention
+
         kg = jax.lax.all_gather(kb, axis, axis=1, tiled=True)
         vg = jax.lax.all_gather(vb, axis, axis=1, tiled=True)
-        return dot_product_attention_xla(qb, kg, vg, s)
+        return multi_head_attention(qb, kg, vg, s,
+                                    implementation=implementation)
 
     spec = P(None, axis, None, None)
     fn = shard_map(

@@ -116,3 +116,94 @@ def test_ring_attention_2dev_bf16():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+# ---------------- sequence parallelism in the model path ----------------
+
+
+def _tiny_curvevit(attn_impl, image_size=256, tokens_hint=4096):
+    from sfc_vit_tpu.models import CurveViT
+
+    return CurveViT(
+        curve="hilbert", image_size=image_size, patch_size=4,
+        num_classes=10, dim=32, depth=1, heads=2, mlp_dim=64, dim_head=16,
+        attn_impl=attn_impl,
+    )
+
+
+def test_ring_attn_impl_engages_collectives():
+    """attn_impl='ring' inside a model lowers to a collective-permute
+    under an active sequence_sharding context (i.e. SP is actually in
+    the model path, not a standalone demo)."""
+    from sfc_vit_tpu.parallel import make_mesh, sequence_sharding
+
+    mesh = make_mesh(data=2, model=4)
+    model = _tiny_curvevit("ring", image_size=32)  # 64 tokens / 4 = 16
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x)["params"]
+
+    def fwd(p, x):
+        return model.apply({"params": p}, x)
+
+    def fwd_plain(p, x):  # distinct fn: jit caches traces per identity
+        return model.apply({"params": p}, x)
+
+    with sequence_sharding(mesh, axis="model"):
+        txt = jax.jit(fwd).lower(params, x).as_text()
+    assert "collective_permute" in txt or "ppermute" in txt
+
+    # outside the context the same model lowers collective-free
+    txt_plain = jax.jit(fwd_plain).lower(params, x).as_text()
+    assert "collective_permute" not in txt_plain
+
+
+@pytest.mark.parametrize("impl", ["ring", "sp"])
+def test_sequence_sharded_train_step_matches_unsharded(impl):
+    """One full sequence-sharded training step of a 4k-token CurveViT on
+    the 8-device mesh: loss finite, updated params match the unsharded
+    xla-attention step (ring/sp are exact)."""
+    from sfc_vit_tpu.parallel import make_mesh, sequence_sharding
+    from sfc_vit_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        warmup_cosine,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 256, 256, 3)),
+        jnp.float32,
+    )  # 4096 tokens at patch 4
+    y = jnp.arange(4, dtype=jnp.int32) % 10
+    sched = warmup_cosine(3e-4, 2, 10)
+    step = make_train_step(num_classes=10, use_mixing=False,
+                           schedule=sched)
+    key = jax.random.key(1)
+
+    def run(attn_impl, ctx):
+        model = _tiny_curvevit(attn_impl)
+        state = create_train_state(
+            model, jax.random.key(0), x[:1], make_optimizer(sched)
+        )
+        if ctx is None:
+            new_state, metrics = jax.jit(step)(state, (x, y), key)
+        else:
+            with ctx:
+                new_state, metrics = jax.jit(step)(state, (x, y), key)
+        return new_state, metrics
+
+    ref_state, ref_metrics = run("xla", None)
+    got_state, got_metrics = run(impl, sequence_sharding(mesh, "model"))
+
+    assert np.isfinite(float(got_metrics["loss"]))
+    np.testing.assert_allclose(
+        float(got_metrics["loss"]), float(ref_metrics["loss"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+    flat_got = jax.tree_util.tree_leaves(got_state.params)
+    for a, b in zip(flat_got, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        )
