@@ -30,7 +30,53 @@ from ..tokenizers.embeddings import curve_gather
 from .layers import TorchMultiHeadAttention
 from .posemb import gfpe
 
-__all__ = ["RetrofitViT", "load_torchvision_vit", "resize_pos_embedding"]
+__all__ = [
+    "RetrofitViT",
+    "load_torchvision_vit",
+    "resize_pos_embedding",
+    "synthetic_torchvision_state_dict",
+]
+
+
+def synthetic_torchvision_state_dict(
+    dim: int = 64, depth: int = 2, mlp: int = 128, patch: int = 16,
+    grid: int = 4, classes: int = 10, seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Random weights in the torchvision ``vit_b_16`` state_dict layout.
+
+    Smoke-mode stand-in for a real checkpoint on zero-egress machines
+    (scripts/retrofit_finetune.py --synthetic-weights); same key schema
+    ``load_torchvision_vit`` parses.
+    """
+    rng = np.random.default_rng(seed)
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.02
+    sd: Dict[str, np.ndarray] = {
+        "class_token": r(1, 1, dim),
+        "conv_proj.weight": r(dim, 3, patch, patch),
+        "conv_proj.bias": r(dim),
+        "encoder.pos_embedding": r(1, grid * grid + 1, dim),
+        "encoder.ln.weight": np.ones(dim, np.float32),
+        "encoder.ln.bias": np.zeros(dim, np.float32),
+        "heads.head.weight": r(classes, dim),
+        "heads.head.bias": r(classes),
+    }
+    for i in range(depth):
+        p = f"encoder.layers.encoder_layer_{i}"
+        sd.update({
+            f"{p}.ln_1.weight": np.ones(dim, np.float32),
+            f"{p}.ln_1.bias": np.zeros(dim, np.float32),
+            f"{p}.ln_2.weight": np.ones(dim, np.float32),
+            f"{p}.ln_2.bias": np.zeros(dim, np.float32),
+            f"{p}.self_attention.in_proj_weight": r(3 * dim, dim),
+            f"{p}.self_attention.in_proj_bias": r(3 * dim),
+            f"{p}.self_attention.out_proj.weight": r(dim, dim),
+            f"{p}.self_attention.out_proj.bias": r(dim),
+            f"{p}.mlp.linear_1.weight": r(mlp, dim),
+            f"{p}.mlp.linear_1.bias": r(mlp),
+            f"{p}.mlp.linear_2.weight": r(dim, mlp),
+            f"{p}.mlp.linear_2.bias": r(dim),
+        })
+    return sd
 
 
 class _EncoderBlock(nn.Module):

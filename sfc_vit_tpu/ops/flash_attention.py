@@ -47,9 +47,11 @@ __all__ = ["flash_attention"]
 
 _NEG_INF = -1e30
 _LANES = 128
-# Above this padded length the full-KV fused backward would not fit VMEM
-# (logits tile + full dK/dV output blocks); switch to the streaming pair.
-_FUSED_BWD_MAX = 4096
+# Above this padded length the full-KV fused backward would not fit the
+# 16 MB scoped VMEM (measured on v5e: block_q=512 at N=4096 needs 25.8 MB
+# — logits-sized fp32 temporaries + full dK/dV blocks); switch to the
+# streaming pair.
+_FUSED_BWD_MAX = 2048
 # Streaming forward: single K step (full-KV data movement) up to here.
 _SINGLE_KSTEP_MAX = 4096
 
@@ -78,6 +80,14 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, *rest,
     scale: float, n_actual: int, block_k: int, with_lse: bool,
 ):
+    """One (block_h, block_q, block_k) step of the online softmax.
+
+    ``block_h`` (the leading block dim) folds several (batch, head)
+    slices into one grid step: at short sequence lengths (ViT-B/16's
+    196 tokens) a single head's tile is far too small to cover the
+    per-step DMA + dispatch cost, so we batch the heads of an image and
+    unroll 2D MXU matmuls over them.
+    """
     if with_lse:
         lse_ref, m_s, l_s, acc_s = rest
     else:
@@ -91,48 +101,57 @@ def _fwd_kernel(
         l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
         acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
 
-    q = q_ref[0]  # (BQ, Dh)
-    k = k_ref[0]  # (BK, Dh)
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * block_k
-    s = jnp.where(col < n_actual, s, _NEG_INF)
+    g = q_ref.shape[0]
+    dh = acc_s.shape[-1]
+    for s_i in range(g):  # unrolled: g is a static block dim
+        q = q_ref[s_i]  # (BQ, Dh)
+        k = k_ref[s_i]  # (BK, Dh)
+        v = v_ref[s_i]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BQ, BK)
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * block_k
+        )
+        s = jnp.where(col < n_actual, s, _NEG_INF)
 
-    m_prev = m_s[...]  # (BQ, 128)
-    l_prev = l_s[...]
-    m_curr = jnp.max(s, axis=1)[:, None]  # (BQ, 1)
-    m_next = jnp.maximum(m_prev, m_curr)  # (BQ, 128)
-    p = jnp.exp(s - _lane_bcast(m_next, s.shape[1]))  # (BQ, BK)
-    alpha = jnp.exp(m_prev - m_next)  # (BQ, 128)
-    l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
-    m_s[...] = m_next
-    l_s[...] = l_next
+        m_prev = m_s[s_i]  # (BQ, 128)
+        l_prev = l_s[s_i]
+        m_curr = jnp.max(s, axis=1)[:, None]  # (BQ, 1)
+        m_next = jnp.maximum(m_prev, m_curr)  # (BQ, 128)
+        p = jnp.exp(s - _lane_bcast(m_next, s.shape[1]))  # (BQ, BK)
+        alpha = jnp.exp(m_prev - m_next)  # (BQ, 128)
+        l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
+        m_s[s_i] = m_next
+        l_s[s_i] = l_next
 
-    dh = acc_s.shape[1]
-    acc_s[...] = acc_s[...] * _lane_bcast(alpha, dh) + jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        acc_s[s_i] = acc_s[s_i] * _lane_bcast(alpha, dh) + (
+            jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
 
     @pl.when(kk == nk - 1)
     def _store():
-        l_fin = l_s[...]
-        inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        o_ref[0] = (acc_s[...] * _lane_bcast(inv, dh)).astype(o_ref.dtype)
-        if with_lse:
-            lse_ref[0] = m_s[...] + jnp.log(
-                jnp.where(l_fin == 0.0, 1.0, l_fin)
-            )
+        for s_i in range(g):
+            l_fin = l_s[s_i]
+            inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            o_ref[s_i] = (
+                acc_s[s_i] * _lane_bcast(inv, dh)
+            ).astype(o_ref.dtype)
+            if with_lse:
+                lse_ref[s_i] = m_s[s_i] + jnp.log(
+                    jnp.where(l_fin == 0.0, 1.0, l_fin)
+                )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "return_lse",
-                     "interpret"),
+    static_argnames=("scale", "block_q", "block_k", "block_h",
+                     "return_lse", "interpret"),
 )
 def _flash_fwd(
     q: jnp.ndarray,
@@ -141,6 +160,7 @@ def _flash_fwd(
     scale: float,
     block_q: int = 128,
     block_k: Optional[int] = None,
+    block_h: Optional[int] = None,
     return_lse: bool = False,
     interpret: bool = False,
 ):
@@ -153,6 +173,8 @@ def _flash_fwd(
     qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
     n_pad_q = _round_up(n, block_q)
     bk = _auto_block_k(n) if block_k is None else block_k
+    g = _auto_block_h(n, h) if block_h is None else block_h
+    assert bh % g == 0, f"block_h {g} must divide batch*heads {bh}"
     n_pad_k = _round_up(n, bk)
     if n_pad_q != n:
         qf = jnp.pad(qf, ((0, 0), (0, n_pad_q - n), (0, 0)))
@@ -161,10 +183,10 @@ def _flash_fwd(
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
 
-    grid = (bh, n_pad_q // block_q, n_pad_k // bk)
+    grid = (bh // g, n_pad_q // block_q, n_pad_k // bk)
     out_shapes = [jax.ShapeDtypeStruct((bh, n_pad_q, dh), q.dtype)]
     out_specs = [
-        pl.BlockSpec((1, block_q, dh), lambda i, j, kk: (i, j, 0),
+        pl.BlockSpec((g, block_q, dh), lambda i, j, kk: (i, j, 0),
                      memory_space=pltpu.VMEM)
     ]
     if return_lse:
@@ -172,7 +194,7 @@ def _flash_fwd(
             jax.ShapeDtypeStruct((bh, n_pad_q, _LANES), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((1, block_q, _LANES), lambda i, j, kk: (i, j, 0),
+            pl.BlockSpec((g, block_q, _LANES), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM)
         )
     res = pl.pallas_call(
@@ -182,19 +204,19 @@ def _flash_fwd(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda i, j, kk: (i, j, 0),
+            pl.BlockSpec((g, block_q, dh), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dh), lambda i, j, kk: (i, kk, 0),
+            pl.BlockSpec((g, bk, dh), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dh), lambda i, j, kk: (i, kk, 0),
+            pl.BlockSpec((g, bk, dh), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs) if return_lse else out_specs[0],
         out_shape=tuple(out_shapes) if return_lse else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, dh), jnp.float32),
+            pltpu.VMEM((g, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((g, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((g, block_q, dh), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n_pad_q * n_pad_k * dh,
@@ -546,8 +568,26 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
 
 def _auto_block_q(n: int) -> int:
     """Measured on v5e (RESULTS.md): larger q-tiles win at long
-    sequences (4.47 vs 4.72 ms at N=4096 for 512 vs 128)."""
+    sequences (4.47 vs 4.72 ms at N=4096 for 512 vs 128).  Short
+    sequences use one q block padded to the 16-sublane bf16 tile
+    (196 -> 208, vs XLA's 256 MXU padding)."""
+    if n <= 512:
+        return _round_up(n, 16)
     return 512 if n >= 2048 else 128
+
+
+def _auto_block_h(n: int, h: int) -> int:
+    """Heads folded per grid step: at short N a single head's tile is
+    too small to cover DMA/dispatch per step, so batch whole images'
+    heads (largest divisor of h keeping ~<=4k q rows per step)."""
+    if n > 512:
+        return 1
+    n_pad = _round_up(n, 16)
+    best = 1
+    for g in range(1, h + 1):
+        if h % g == 0 and g * n_pad <= 4096:
+            best = g
+    return best
 
 
 def _auto_block_k(n: int) -> int:
@@ -561,7 +601,7 @@ def _use_streaming_bwd(n: int) -> bool:
     return _round_up(n, 128) > _FUSED_BWD_MAX
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -569,6 +609,7 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    block_h: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Streaming fused TPU attention on [B, N, H, Dh]; numerically
@@ -577,22 +618,23 @@ def flash_attention(
     s = q.shape[-1] ** -0.5 if scale is None else scale
     bq = _auto_block_q(q.shape[1]) if block_q is None else block_q
     return _flash_fwd(q, k, v, s, block_q=bq, block_k=block_k,
-                      interpret=interpret)
+                      block_h=block_h, interpret=interpret)
 
 
-def _fa_fwd(q, k, v, scale, block_q, block_k, interpret):
+def _fa_fwd(q, k, v, scale, block_q, block_k, block_h, interpret):
     s = q.shape[-1] ** -0.5 if scale is None else scale
     bq = _auto_block_q(q.shape[1]) if block_q is None else block_q
     if _use_streaming_bwd(q.shape[1]):
         out, lse = _flash_fwd(q, k, v, s, block_q=bq, block_k=block_k,
-                              return_lse=True, interpret=interpret)
+                              block_h=block_h, return_lse=True,
+                              interpret=interpret)
         return out, (q, k, v, out, lse)
     out = _flash_fwd(q, k, v, s, block_q=bq, block_k=block_k,
-                     interpret=interpret)
+                     block_h=block_h, interpret=interpret)
     return out, (q, k, v, None, None)
 
 
-def _fa_bwd(scale, block_q, block_k, interpret, res, g):
+def _fa_bwd(scale, block_q, block_k, block_h, interpret, res, g):
     q, k, v, out, lse = res
     s = q.shape[-1] ** -0.5 if scale is None else scale
     if lse is not None:
@@ -603,7 +645,16 @@ def _fa_bwd(scale, block_q, block_k, interpret, res, g):
         return _streaming_bwd(q, k, v, out, g, lse, s,
                               block_q=bq_fwd, block_k=bk,
                               interpret=interpret)
-    bq = _auto_block_q(q.shape[1]) if block_q is None else block_q
+    if block_q is not None:
+        bq = block_q
+    elif q.shape[1] <= 512:
+        bq = _auto_block_q(q.shape[1])
+    else:
+        # Fused bwd holds ~5 (block_q, n_pad) fp32 temporaries; 128 is
+        # the largest q tile that fits scoped VMEM up to n_pad=2048
+        # (and the config the round-1 12%-over-XLA number was measured
+        # at, RESULTS.md).
+        bq = 128
     return _fused_bwd(q, k, v, g, s, block_q=bq, interpret=interpret)
 
 

@@ -69,7 +69,12 @@ class Trainer:
         steps_per_epoch: int,
         sample_input: np.ndarray,
         mesh=None,
+        init_params=None,
     ) -> None:
+        """``init_params``: optional pretrained parameter tree (same
+        structure/shapes as the model's init) to fine-tune from — e.g. a
+        RetrofitViT imported via ``load_torchvision_vit`` (the notebook
+        cell-7 recipe, scripts/retrofit_finetune.py)."""
         self.model = model
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -95,6 +100,23 @@ class Trainer:
         self.state = create_train_state(
             model, rng, jax.numpy.asarray(sample_input), tx
         )
+        if init_params is not None:
+            import jax.numpy as jnp
+
+            init_params = jax.tree_util.tree_map(
+                jnp.asarray, init_params
+            )
+            got = jax.tree_util.tree_structure(self.state.params)
+            want = jax.tree_util.tree_structure(init_params)
+            if got != want:
+                raise ValueError(
+                    f"init_params tree mismatch: {want} vs model {got}"
+                )
+            # Rebuild the optimizer state from the injected params so
+            # AdamW moments reference the right leaves.
+            self.state = self.state.replace(
+                params=init_params, opt_state=tx.init(init_params)
+            )
         # Replicate state over the mesh; batch arrives data-sharded.
         rep = replicated(self.mesh)
         self.state = jax.device_put(self.state, rep)

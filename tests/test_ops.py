@@ -54,7 +54,7 @@ def test_flash_attention_streaming_fwd_matches_xla(n, block_q, block_k):
     """Online-softmax K-streaming path (multiple k blocks per q tile)."""
     q, k, v = _qkv(n=n)
     want = dot_product_attention_xla(q, k, v)
-    got = flash_attention(q, k, v, None, block_q, block_k, True)
+    got = flash_attention(q, k, v, None, block_q, block_k, None, True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
@@ -84,7 +84,7 @@ def test_flash_attention_streaming_bwd_matches_xla(n, monkeypatch):
 
     def loss_flash(q, k, v):
         return jnp.sum(
-            fa.flash_attention(q, k, v, None, 128, 128, True) ** 2
+            fa.flash_attention(q, k, v, None, 128, 128, None, True) ** 2
         )
 
     def loss_xla(q, k, v):

@@ -107,3 +107,57 @@ def test_raster_curve_matches_plain_vit():
     # different orderings -> (almost surely) different logits, but both
     # see the same token multiset, so CLS-attention outputs differ.
     assert not np.allclose(y1, y2)
+
+
+def test_trainer_init_params_injection():
+    """Trainer(init_params=...) fine-tunes from the imported weights
+    (retrofit path), not a fresh init."""
+    from sfc_vit_tpu.models.retrofit import (
+        load_torchvision_vit,
+        synthetic_torchvision_state_dict,
+    )
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    sd = synthetic_torchvision_state_dict()
+    model, params = load_torchvision_vit(sd, image_size=64, num_classes=10)
+    cfg = TrainConfig(num_classes=10, epochs=1, warmup_epochs=0)
+    tr = Trainer(
+        model, cfg, steps_per_epoch=1,
+        sample_input=np.zeros((2, 64, 64, 3), np.float32),
+        init_params=params,
+    )
+    got = np.asarray(
+        tr.state.params["encoder_layer_0"]["mlp_1"]["kernel"]
+    )
+    want = sd["encoder.layers.encoder_layer_0.mlp.linear_1.weight"].T
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_retrofit_finetune_script_smoke(tmp_path):
+    """The two-stage cell-7 driver runs end-to-end on synthetic data and
+    the restored (stage-2-initial) accuracy matches stage-1's final
+    state: stage 2 must not reset the weights."""
+    import pathlib
+    import sys
+
+    scripts = pathlib.Path(__file__).resolve().parents[1] / "scripts"
+    sys.path.insert(0, str(scripts))
+    try:
+        import retrofit_finetune
+    finally:
+        sys.path.pop(0)
+
+    res = retrofit_finetune.main([
+        "--synthetic-weights", "--dataset", "synthetic",
+        "--img-size", "64", "--batch-size", "32",
+        "--stage1-epochs", "1", "--stage2-epochs", "1",
+        "--steps-per-epoch", "2",
+        "--workdir", str(tmp_path),
+    ])
+    assert set(res) == {"stage1", "stage2"}
+    for stage in res.values():
+        assert np.isfinite(stage["train_loss"])
+        assert 0.0 <= stage["best_test_accuracy"] <= 1.0
+    # periodic checkpoints were written by both stages
+    assert (tmp_path / "stage1" / "checkpoints").exists()
+    assert (tmp_path / "stage2" / "checkpoints").exists()
