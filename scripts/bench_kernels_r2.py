@@ -136,11 +136,16 @@ def section_long():
     from sfc_vit_tpu.ops.attention import dot_product_attention_xla
     from sfc_vit_tpu.ops.flash_attention import flash_attention
 
+    import os
+
+    only = os.environ.get("BENCH_LONG_N")
     cases = [  # (n, b, h, try_xla_fwd, try_xla_grad)
         (4096, 2, 8, True, True),
         (16384, 1, 4, True, False),
         (32768, 1, 2, False, False),
     ]
+    if only:
+        cases = [c for c in cases if c[0] == int(only)]
     for n, b, h, try_xla, try_xla_g in cases:
         q, k, v = _mk_qkv(b, n, h, 64, jnp.bfloat16)
         ms = time_fwd(flash_attention, q, k, v, iters=10) * 1e3
@@ -154,12 +159,15 @@ def section_long():
                               iters=10) * 1e3
                 emit(section="long", impl="xla_dense", n=n, b=b, h=h,
                      fwd_ms=ms)
-                want = np.asarray(
-                    dot_product_attention_xla(q, k, v), np.float32
-                )
-                got = np.asarray(flash_attention(q, k, v), np.float32)
-                emit(section="long", check="stream_parity", n=n,
-                     max_err=float(np.abs(got - want).max()))
+                if n <= 4096:
+                    # eager dense parity beyond 4k OOMs the device and
+                    # can wedge the remote backend; 4k covers it
+                    want = np.asarray(
+                        dot_product_attention_xla(q, k, v), np.float32
+                    )
+                    got = np.asarray(flash_attention(q, k, v), np.float32)
+                    emit(section="long", check="stream_parity", n=n,
+                         max_err=float(np.abs(got - want).max()))
             except Exception as e:  # noqa: BLE001 - OOM expected at 16k+
                 emit(section="long", impl="xla_dense", n=n,
                      error=type(e).__name__)
@@ -210,6 +218,82 @@ def section_local():
          grad_ms=time_grad(pal, q, k, v, iters=5) * 1e3)
     emit(section="local", impl="xla_densemask", n=n,
          grad_ms=time_grad(ref, q, k, v, iters=5) * 1e3)
+
+
+def section_gather():
+    """gather_project win-or-rescope (VERDICT r1 #7): flagship ViT-B
+    patch-embed shape (XLA folds a pure permutation into the GEMM — can
+    a bigger single-step block_n win anyway?) and the grouped-1D
+    tokenizer shape (XLA cannot fold: the (n g) d -> n (g d) reshape
+    mixes rows between gather and GEMM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfc_vit_tpu.ops.gather_project import (
+        gather_project,
+        gather_project_xla,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def timeit(fn, *args, iters=30):
+        import time as _t
+
+        @jax.jit
+        def run(x, *rest):
+            def body(c, _):
+                out = fn(c, *rest)
+                return (c + out.mean() * 1e-24).astype(c.dtype), None
+
+            c, _ = jax.lax.scan(body, x, None, length=iters)
+            return c.astype(jnp.float32).mean()
+
+        np.asarray(jax.device_get(run(*args)))
+        ts = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            np.asarray(jax.device_get(run(*args)))
+            ts.append(_t.perf_counter() - t0)
+        return min(ts) / iters
+
+    # flagship: ViT-B patch embed, bs 512, N=196, K=D=768, bf16
+    x = jnp.asarray(rng.standard_normal((512, 196, 768)) * 0.1,
+                    jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((768, 768)) * 0.02, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(768) * 0.01, jnp.bfloat16)
+    lut = jnp.asarray(rng.permutation(196).astype(np.int32))
+    for name, fn in (
+        ("xla_take_gemm", lambda c: gather_project_xla(c, lut, w, b)),
+        ("pallas_bn128", lambda c: gather_project(c, lut, w, b, 128)),
+        ("pallas_bn256", lambda c: gather_project(c, lut, w, b, 256)),
+    ):
+        ms = timeit(fn, x) * 1e3
+        emit(section="gather", impl=name, shape="vitb_patch_embed",
+             fwd_ms=ms)
+
+    # grouped-1D: SFCEmbedding1D shape (B 256, N 1024 pixels, k 3,
+    # group 16 -> 64 tokens of 48 features, D 256)
+    xg = jnp.asarray(rng.standard_normal((256, 1024, 3)) * 0.1,
+                     jnp.bfloat16)
+    # pad K to something MXU-sane is the kernel's problem; XLA reshapes
+    wg = jnp.asarray(rng.standard_normal((48, 256)) * 0.05, jnp.bfloat16)
+    bg = jnp.asarray(rng.standard_normal(256) * 0.01, jnp.bfloat16)
+    lutg = jnp.asarray(rng.permutation(1024).astype(np.int32))
+    for name, fn in (
+        ("xla_take_gemm", lambda c: gather_project_xla(
+            c, lutg, wg, bg, group=16)),
+        ("pallas_grouped", lambda c: gather_project(
+            c, lutg, wg, bg, 64, False, 16)),
+    ):
+        ms = timeit(fn, xg, iters=50) * 1e3
+        emit(section="gather", impl=name, shape="grouped1d_g16",
+             fwd_ms=ms)
+    want = np.asarray(gather_project_xla(xg, lutg, wg, bg, group=16),
+                      np.float32)
+    got = np.asarray(gather_project(xg, lutg, wg, bg, 64, False, 16),
+                     np.float32)
+    emit(section="gather", check="grouped_parity",
+         max_err=float(np.abs(got - want).max()))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--platform", default=None)
     p.add_argument("--out", default=None, help="write JSON results here")
+    p.add_argument("--plot", default=None,
+                   help="write the mean±std accuracy figure here (.png)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -110,6 +112,60 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
+    if args.plot:
+        plot_results(results, args.plot, args.dataset)
+    return results
+
+
+#: Categorical series colors (fixed assignment order, pre-validated
+#: 2-series pair from the dataviz reference palette: blue, orange).
+_SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+_SURFACE, _INK, _INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
+
+
+def plot_results(results: dict, path: str, dataset: str) -> None:
+    """The hilbert.ipynb cell-9 headline figure: per-epoch test accuracy,
+    mean line + ±1 std band per curve order."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4.2), dpi=150)
+    fig.patch.set_facecolor(_SURFACE)
+    ax.set_facecolor(_SURFACE)
+    for i, (curve, r) in enumerate(results.items()):
+        mean = np.asarray(r["mean"])
+        std = np.asarray(r["std"])
+        epochs = np.arange(1, len(mean) + 1)
+        c = _SERIES[i % len(_SERIES)]
+        ax.plot(epochs, mean, color=c, linewidth=2, label=curve)
+        ax.fill_between(epochs, mean - std, mean + std, color=c,
+                        alpha=0.15, linewidth=0)
+        ax.annotate(
+            curve, (epochs[-1], mean[-1]), textcoords="offset points",
+            xytext=(6, 0), color=_INK, fontsize=9, va="center",
+        )
+    from matplotlib.ticker import MaxNLocator
+
+    ax.xaxis.set_major_locator(MaxNLocator(integer=True))
+    ax.set_xlabel("epoch", color=_INK2)
+    ax.set_ylabel("test accuracy", color=_INK2)
+    ax.set_title(
+        f"Curve order vs raster — {dataset} "
+        f"(mean ± std over seeds)", color=_INK, fontsize=11, loc="left",
+    )
+    ax.grid(True, color="#e7e6e1", linewidth=0.6)
+    ax.tick_params(colors=_INK2)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color("#c3c2b7")
+    ax.legend(frameon=False, loc="lower right", labelcolor=_INK)
+    ax.margins(x=0.08)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=_SURFACE)
+    print(f"# wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
