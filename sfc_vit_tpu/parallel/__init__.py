@@ -1,6 +1,7 @@
 """Parallelism: meshes, shardings, collectives (new vs the reference)."""
 
 from .context import active_sequence_sharding, sequence_sharding
+from .pipeline import pipeline_apply, stack_stage_params, stage_sharding
 from .sequence import ring_attention, sequence_parallel_attention
 from .mesh import (
     DATA_AXIS,
@@ -28,4 +29,7 @@ __all__ = [
     "ring_attention",
     "sequence_sharding",
     "active_sequence_sharding",
+    "pipeline_apply",
+    "stack_stage_params",
+    "stage_sharding",
 ]

@@ -1,0 +1,130 @@
+"""Pipeline parallelism: GPipe-style microbatch streaming over a mesh axis.
+
+SURVEY §2f marks PP as unnecessary at ViT-B scale (the models fit one
+chip with room to spare), so the reference has nothing to mirror — this
+module exists so the framework scales past single-stage memory when a
+future model family needs it, implemented the TPU way:
+
+* stages live on a ``pipe`` mesh axis; every device holds ONLY its own
+  stage's parameters (the stacked-stage tree is sharded ``P('pipe')``);
+* microbatches stream through the ring with ``lax.ppermute`` — each
+  pipeline tick every device applies its stage to the activation it
+  holds and passes the result to the next stage over ICI;
+* the whole schedule is one ``lax.scan`` inside ``shard_map`` under
+  ``jit`` — no Python-level orchestration, XLA overlaps the permute
+  with the next tick's compute;
+* the classic GPipe bubble applies: S-1 of the M + S - 1 ticks per
+  device are idle, so throughput efficiency is M / (M + S - 1).
+
+Works under autodiff (ppermute/scan are differentiable), so a pipelined
+training step backpropagates through the schedule ("1F1B-by-transpose":
+the reverse pass streams gradients backwards through the same ring).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+__all__ = ["pipeline_apply", "stack_stage_params", "stage_sharding"]
+
+
+def stack_stage_params(stage_params: list):
+    """Stack S per-stage parameter trees on a new leading 'stage' axis
+    (shard the result with :func:`stage_sharding` so each device holds
+    one stage)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *stage_params
+    )
+
+
+def stage_sharding(mesh: Mesh, tree, axis: str = "pipe"):
+    """NamedSharding pytree putting the leading stage axis on ``axis``."""
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(axis)), tree
+    )
+
+
+def pipeline_apply(
+    mesh: Mesh,
+    stage_fn: Callable,
+    stacked_params,
+    x: jnp.ndarray,
+    axis: str = "pipe",
+) -> jnp.ndarray:
+    """Apply ``S = mesh.shape[axis]`` chained stages to ``x`` in pipeline.
+
+    Args:
+        stage_fn: ``(params_one_stage, activation [mb, ...]) ->
+            activation`` — the per-stage computation.  Every stage must
+            preserve the activation shape (standard for transformer
+            encoder blocks).
+        stacked_params: pytree whose leaves have a leading stage axis of
+            size S (see :func:`stack_stage_params`); sharded or not —
+            the shard_map in_spec partitions it over ``axis``.
+        x: ``[M, mb, ...]`` microbatches (M >= 1; more microbatches =
+            smaller bubble).
+
+    Returns:
+        ``[M, mb, ...]`` outputs = stage_{S-1}(...stage_0(x)), identical
+        to sequential application.
+    """
+    s = mesh.shape[axis]
+    m = x.shape[0]
+    ticks = m + s - 1
+
+    def local(params, xs):
+        # params: [1, ...] (this device's stage); xs: [M, mb, ...]
+        # (replicated input; only stage 0 consumes it).
+        idx = jax.lax.axis_index(axis)
+        p = jax.tree_util.tree_map(lambda a: a[0], params)
+        fwd_perm = [(i, (i + 1) % s) for i in range(s)]
+
+        mb_shape = xs.shape[1:]
+        # carries vary over the pipe axis (each device holds different
+        # activations); mark the zero inits as varying so scan's type
+        # check accepts the ppermute outputs.
+        pad = jax.lax.pcast(
+            jnp.zeros(mb_shape, xs.dtype), (axis,), to="varying"
+        )
+        outs0 = jax.lax.pcast(
+            jnp.zeros((m,) + mb_shape, xs.dtype), (axis,), to="varying"
+        )
+
+        def tick(carry, t):
+            held, outs = carry
+            # stage 0 ingests microbatch t (when one remains)...
+            feed = jnp.where(t < m, t, 0)
+            held = jnp.where(idx == 0, xs[feed], held)
+            # ...every stage applies its block to what it holds...
+            y = stage_fn(p, held)
+            # ...the last stage banks finished microbatch t - (S-1)...
+            done = t - (s - 1)
+            slot = jnp.where(done >= 0, done, 0)
+            banked = jnp.where(
+                jnp.logical_and(idx == s - 1, done >= 0), y, outs[slot]
+            )
+            outs = outs.at[slot].set(banked)
+            # ...and the ring rotates activations one stage forward.
+            held = jax.lax.ppermute(y, axis, fwd_perm)
+            return (held, outs), None
+
+        (_, outs), _ = jax.lax.scan(
+            tick, (pad, outs0), jnp.arange(ticks)
+        )
+        # Only the last stage banked real outputs; a masked psum
+        # replicates them over the pipe axis (everyone else holds 0).
+        mask = (idx == s - 1).astype(outs.dtype)
+        return jax.lax.psum(outs * mask, axis)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+    )
+    return fn(stacked_params, x)
