@@ -1,0 +1,101 @@
+"""Profile the ViT-B/16 forward on-chip and print top device ops.
+
+Captures a jax.profiler trace around the bench's device-side scan and
+aggregates XLA op durations from the perfetto trace.json.gz, so the
+next bottleneck is data, not guesswork.
+
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_forward.py
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--attn-impl", default="auto")
+    p.add_argument("--outdir", default="/tmp/prof_fwd")
+    p.add_argument("--top", type=int, default=25)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _build
+
+    model = _build("hilbert", False, args.attn_impl, jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (args.batch_size, 224, 224, 3)
+        ),
+        jnp.bfloat16,
+    )
+    params = model.init({"params": jax.random.key(0)}, x[:1])["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params,
+    )
+
+    @jax.jit
+    def run(p, v):
+        def body(carry, _):
+            out = model.apply({"params": p}, v + carry * 1e-24)
+            return out.mean().astype(v.dtype), None
+
+        c, _ = lax.scan(body, jnp.zeros((), v.dtype), None,
+                        length=args.iters)
+        return c
+
+    np.asarray(jax.device_get(run(params, x)))  # compile + warm
+    with jax.profiler.trace(args.outdir):
+        np.asarray(jax.device_get(run(params, x)))
+
+    # Aggregate device-op durations from the perfetto trace.
+    paths = sorted(glob.glob(
+        f"{args.outdir}/**/*trace.json.gz", recursive=True
+    ))
+    if not paths:
+        sys.exit(f"no trace.json.gz under {args.outdir}")
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    by_name = defaultdict(float)
+    total = 0.0
+    # Restrict to TPU device tracks (pid names containing 'TPU'/'Chip').
+    dev_pids = {
+        e["pid"] for e in trace["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and any(t in str(e.get("args", {}).get("name", ""))
+                for t in ("TPU", "Chip", "device"))
+    }
+    for e in trace["traceEvents"]:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            d = float(e.get("dur", 0))
+            by_name[e.get("name", "?")] += d
+            total += d
+    top = sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]
+    print(json.dumps({
+        "attn_impl": args.attn_impl,
+        "total_device_us": total,
+        "top_ops": [
+            {"name": n[:100], "us": round(us, 1),
+             "pct": round(100 * us / total, 2)}
+            for n, us in top
+        ],
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

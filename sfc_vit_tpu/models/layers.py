@@ -82,15 +82,15 @@ class TorchMultiHeadAttention(nn.Module):
     ) -> jnp.ndarray:
         d = self.dim
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, n, _ = q.shape
+        b, n, _ = qkv.shape
         dh = d // self.n_heads
-        q = q.reshape(b, n, self.n_heads, dh)
-        k = k.reshape(b, n, self.n_heads, dh)
-        v = v.reshape(b, n, self.n_heads, dh)
         needs_weights = self.is_mutable_collection("intermediates")
         apply_weight_dropout = self.dropout_rate > 0.0 and not deterministic
         if needs_weights or apply_weight_dropout:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, n, self.n_heads, dh)
+            k = k.reshape(b, n, self.n_heads, dh)
+            v = v.reshape(b, n, self.n_heads, dh)
             # Explicit-weights path: (a) observability -- apply with
             # mutable=['intermediates'] to capture per-head maps (cf. the
             # reference's commented-out CustomTransformerEncoderLayer,
@@ -109,9 +109,15 @@ class TorchMultiHeadAttention(nn.Module):
                 out = jnp.einsum(
                     "bhnm,bmhd->bnhd", weights.astype(v.dtype), v
                 )
+            out = out.reshape(b, n, d)
         else:
-            out = multi_head_attention(q, k, v, implementation=self.attn_impl)
-        out = out.reshape(b, n, d)
+            # packed path: one relayout instead of split + 3 head
+            # transposes (17% of fwd device time, profile_forward.py)
+            from ..ops.attention import packed_qkv_attention
+
+            out = packed_qkv_attention(
+                qkv, self.n_heads, implementation=self.attn_impl
+            )
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "multi_head_attention",
+    "packed_qkv_attention",
     "dot_product_attention_xla",
     "attention_with_weights",
 ]
@@ -106,6 +107,79 @@ def _pallas_available(q: jnp.ndarray) -> bool:
     return dh in (64, 128, 256) and n >= 1024
 
 
+def _bf16_softmax_ok(q: jnp.ndarray) -> bool:
+    """auto picks the bf16-softmax path for short bf16 sequences on TPU.
+
+    Gated on the round-2 accuracy study (scripts/bf16_softmax_study.py,
+    results/bf16_softmax_study.json): per-epoch accuracy curves of the
+    flagship VisionTransformer1D and CurveViT are identical between
+    fp32- and bf16-softmax training (3 seeds x 10 epochs, bf16
+    activations), while the fp32 round-trip costs ~16% of attention
+    time at ViT-B shapes (3.00 -> 2.53 ms, RESULTS.md round 2).
+    Explicit ``implementation='xla'`` still forces fp32 softmax.
+    """
+    return jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16
+
+
+def packed_qkv_attention(
+    qkv: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Attention on a packed [B, N, 3*H*Dh] QKV projection -> [B, N, H*Dh].
+
+    Profiling the ViT-B/16 forward (scripts/profile_forward.py, round 2)
+    showed the conventional ``split + per-tensor head reshape`` between
+    the QKV GEMM and the attention einsums materializes ~4 relayout
+    passes over the activations — 17% of total device time.  This entry
+    point replaces them with ONE 5-D transpose into the batch-leading
+    [3, B, H, N, Dh] layout the attention einsums want (so XLA inserts
+    no further operand transposes), and folds the head-merge back into
+    the output reshape.
+
+    Falls back to the BNHD :func:`multi_head_attention` dispatcher for
+    kernel-backed implementations (pallas/local/ring/sp), which manage
+    their own layouts.
+    """
+    b, n, three_inner = qkv.shape
+    inner = three_inner // 3
+    dh = inner // heads
+    kernel_backed = implementation in ("pallas", "local", "ring", "sp") or (
+        implementation == "auto"
+        and jax.default_backend() == "tpu"
+        and dh in (64, 128, 256)
+        and n >= 1024
+    )
+    if kernel_backed:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, heads, dh)
+        k = k.reshape(b, n, heads, dh)
+        v = v.reshape(b, n, heads, dh)
+        out = multi_head_attention(q, k, v, scale, implementation)
+        return out.reshape(b, n, inner)
+
+    x5 = qkv.reshape(b, n, 3, heads, dh)
+    x5 = jnp.transpose(x5, (2, 0, 3, 1, 4))  # (3, B, H, N, Dh): 1 relayout
+    q, k, v = x5[0], x5[1], x5[2]
+    s = dh ** -0.5 if scale is None else scale
+    if implementation == "xla_bf16" or (
+        implementation == "auto" and _bf16_softmax_ok(q)
+    ):
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * jnp.asarray(
+            s, q.dtype
+        )
+        weights = jax.nn.softmax(logits, axis=-1)
+    else:
+        logits = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        )
+        logits = logits.astype(jnp.float32) * s
+        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -163,4 +237,6 @@ def multi_head_attention(
         return flash_attention(q, k, v, scale=scale)
     if implementation not in ("auto", "xla", "xla_bf16", "pallas", "local"):
         raise ValueError(f"unknown attention implementation {implementation!r}")
+    if implementation == "auto" and _bf16_softmax_ok(q):
+        return dot_product_attention_bf16(q, k, v, scale)
     return dot_product_attention_xla(q, k, v, scale)

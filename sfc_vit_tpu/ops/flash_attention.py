@@ -79,6 +79,7 @@ def _lane_bcast(x, width: int):
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, *rest,
     scale: float, n_actual: int, block_k: int, with_lse: bool,
+    _single_k_step: bool = False,
 ):
     """One (block_h, block_q, block_k) step of the online softmax.
 
@@ -94,6 +95,35 @@ def _fwd_kernel(
         lse_ref, (m_s, l_s, acc_s) = None, rest
     kk = pl.program_id(2)
     nk = pl.num_programs(2)
+
+    if _single_k_step:
+        # Static fast path: the whole K/V fits one block, so plain
+        # softmax — no scratch round-trips, no correction terms.
+        g = q_ref.shape[0]
+        for s_i in range(g):
+            q = q_ref[s_i]
+            k = k_ref[s_i]
+            v = v_ref[s_i]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_actual, s, _NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            out = jax.lax.dot_general(
+                (p / l).astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[s_i] = out.astype(o_ref.dtype)
+            if with_lse:
+                lse_ref[s_i] = jax.lax.broadcast_in_dim(
+                    m + jnp.log(l), lse_ref.shape[1:], (0, 1)
+                )
+        return
 
     @pl.when(kk == 0)
     def _init():
@@ -201,6 +231,7 @@ def _flash_fwd(
         functools.partial(
             _fwd_kernel, scale=scale, n_actual=n, block_k=bk,
             with_lse=return_lse,
+            _single_k_step=(n_pad_k // bk == 1),
         ),
         grid=grid,
         in_specs=[

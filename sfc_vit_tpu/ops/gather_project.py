@@ -86,7 +86,7 @@ def gather_project(
     lut: jnp.ndarray,
     w: jnp.ndarray,
     b: Optional[jnp.ndarray] = None,
-    block_n: int = 128,
+    block_n: Optional[int] = None,
     interpret: bool = False,
     group: int = 1,
 ) -> jnp.ndarray:
@@ -98,10 +98,23 @@ def gather_project(
             curve reorders; any index list works).
         w: [group*K, D] projection over grouped rows.
         b: optional [D] bias.
+        block_n: output-token tile; None picks a single-step tile when
+            the whole output fits one block (measured on v5e: the
+            single-step layout beats XLA take+GEMM at the ViT-B patch
+            -embed shape, 2.60 vs 2.72 ms — two steps refetch x and
+            lose, RESULTS.md round 2).
         group: curve-consecutive rows concatenated per output token.
+
+    When to fuse (measured): the one-hot gather adds ~N/(group*D) extra
+    MXU work, so the kernel wins when the projection is wide (ViT-B:
+    N=196, D=768 -> 1.04x) and loses when rows are tiny (grouped pixel
+    tokenizers, K=3: 0.52x) — tokenizers gate ``fused`` accordingly.
     """
     if not interpret and jax.default_backend() != "tpu":
         return gather_project_xla(x, lut, w, b, group)
+    if block_n is None:
+        m = lut.shape[0] // group
+        block_n = _round_up(m, 8) if m <= 512 else 128
     return _fwd_impl(x, lut, w, b, block_n, interpret, group)
 
 

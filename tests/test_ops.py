@@ -73,6 +73,16 @@ def test_flash_attention_streaming_fwd_lse():
     got = np.asarray(lse)[:, :300, 0]
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
 
+    # single-K-step fast path (static plain-softmax branch) emits the
+    # same LSE
+    out1, lse1 = _flash_fwd(q, k, v, q.shape[-1] ** -0.5, block_q=128,
+                            return_lse=True, interpret=True)
+    got1 = np.asarray(lse1)[:, :300, 0]
+    np.testing.assert_allclose(got1, np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+
 
 @pytest.mark.parametrize("n", [300, 512])
 def test_flash_attention_streaming_bwd_matches_xla(n, monkeypatch):
@@ -336,3 +346,27 @@ def test_bf16_softmax_attention_close_to_fp32():
     )
     via = multi_head_attention(q, k, v, implementation="xla_bf16")
     np.testing.assert_array_equal(np.asarray(via), np.asarray(got))
+
+
+@pytest.mark.parametrize("impl", ["xla", "xla_bf16", "local"])
+def test_packed_qkv_attention_matches_split(impl):
+    """packed_qkv_attention == split + BNHD dispatcher for both the
+    fused BHND fast path and the kernel-backed fallback."""
+    from sfc_vit_tpu.ops.attention import (
+        multi_head_attention,
+        packed_qkv_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    b, n, h, dh = 2, 196, 4, 64
+    qkv = jnp.asarray(
+        rng.standard_normal((b, n, 3 * h * dh)), dtype=jnp.float32
+    )
+    got = packed_qkv_attention(qkv, h, implementation=impl)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (t.reshape(b, n, h, dh) for t in (q, k, v))
+    want = multi_head_attention(q, k, v, implementation=impl)
+    want = want.reshape(b, n, h * dh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
