@@ -134,6 +134,12 @@ def plot_results(results: dict, path: str, dataset: str) -> None:
     fig, ax = plt.subplots(figsize=(7, 4.2), dpi=150)
     fig.patch.set_facecolor(_SURFACE)
     ax.set_facecolor(_SURFACE)
+    finals = [r["mean"][-1] for r in results.values()]
+    span = max(
+        max(np.max(r["mean"]) for r in results.values())
+        - min(np.min(r["mean"]) for r in results.values()),
+        1e-3,
+    )
     for i, (curve, r) in enumerate(results.items()):
         mean = np.asarray(r["mean"])
         std = np.asarray(r["std"])
@@ -142,9 +148,17 @@ def plot_results(results: dict, path: str, dataset: str) -> None:
         ax.plot(epochs, mean, color=c, linewidth=2, label=curve)
         ax.fill_between(epochs, mean - std, mean + std, color=c,
                         alpha=0.15, linewidth=0)
+        # dodge end-of-line labels vertically when endpoints converge
+        dy = 0
+        if any(abs(mean[-1] - f) < 0.04 * span
+               for j, f in enumerate(finals) if j != i):
+            dy = -11 * sum(
+                1 for j, f in enumerate(finals[:i])
+                if abs(mean[-1] - f) < 0.04 * span
+            )
         ax.annotate(
             curve, (epochs[-1], mean[-1]), textcoords="offset points",
-            xytext=(6, 0), color=_INK, fontsize=9, va="center",
+            xytext=(6, dy), color=_INK, fontsize=9, va="center",
         )
     from matplotlib.ticker import MaxNLocator
 
