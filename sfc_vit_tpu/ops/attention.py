@@ -5,12 +5,23 @@ TPU kernel is a drop-in.  Layout is [B, N, H, Dh] throughout (the
 TPU-friendly "BNHD" layout; no transposes at the call site).
 
 Implementations:
-  * ``"xla"``     -- explicit scaled-dot-product softmax attention; exact
-                     torch semantics (fp32 softmax), used on CPU and for
-                     parity tests.
-  * ``"pallas"``  -- blockwise flash attention kernel
-                     (``ops/flash_attention.py``); TPU only.
-  * ``"auto"``    -- pallas on TPU when shapes allow, else xla.
+  * ``"xla"``      -- explicit scaled-dot-product softmax attention;
+                      exact torch semantics (fp32 softmax), used on CPU
+                      and for parity tests.
+  * ``"xla_bf16"`` -- softmax in the input dtype (no fp32 round-trip).
+  * ``"pallas"``   -- streaming flash attention kernel
+                      (``ops/flash_attention.py``); TPU only.
+  * ``"local"``    -- curve-local block attention, O(N*window).
+  * ``"ring"``/``"sp"`` -- sequence-parallel attention over the ambient
+                      ``parallel.sequence_sharding`` mesh axis (ppermute
+                      ring / all-gather-KV); degrade to xla off-mesh.
+  * ``"auto"``     -- TPU: pallas at >=1k tokens, bf16 softmax for bf16
+                      inputs below (accuracy-study-gated,
+                      results/bf16_softmax_study.json); else xla.
+
+``packed_qkv_attention`` is the preferred model-side entry point: it
+takes the packed QKV projection and avoids the split/head-reshape
+relayouts (17% of ViT-B fwd device time, scripts/profile_forward.py).
 """
 
 from __future__ import annotations
