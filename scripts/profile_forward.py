@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--attn-impl", default="auto")
     p.add_argument("--outdir", default="/tmp/prof_fwd")
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--train", action="store_true",
+                   help="profile the full training step instead")
     args = p.parse_args(argv)
 
     import jax
@@ -49,19 +51,55 @@ def main(argv=None):
         params,
     )
 
-    @jax.jit
-    def run(p, v):
-        def body(carry, _):
-            out = model.apply({"params": p}, v + carry * 1e-24)
-            return out.mean().astype(v.dtype), None
+    if args.train:
+        from sfc_vit_tpu.training import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+            warmup_cosine,
+        )
 
-        c, _ = lax.scan(body, jnp.zeros((), v.dtype), None,
-                        length=args.iters)
-        return c
+        sched = warmup_cosine(3e-4, 10, 1000)
+        state = create_train_state(
+            model, jax.random.key(0), x[:2].astype(jnp.float32),
+            make_optimizer(sched),
+        )
+        step = make_train_step(num_classes=1000, schedule=sched)
+        y = jnp.zeros((args.batch_size,), jnp.int32)
+        xf = x.astype(jnp.float32)
 
-    np.asarray(jax.device_get(run(params, x)))  # compile + warm
+        @jax.jit
+        def run(state, xf, y, key):
+            def body(c, i):
+                st, _ = c
+                st, m = step(st, (xf, y), jax.random.fold_in(key, i))
+                return (st, m["loss"]), None
+
+            (st, loss), _ = lax.scan(
+                body, (state, jnp.float32(0)), jnp.arange(args.iters)
+            )
+            return loss
+
+        f = lambda: np.asarray(
+            jax.device_get(run(state, xf, y, jax.random.key(1)))
+        )
+    else:
+
+        @jax.jit
+        def run(p, v):
+            def body(carry, _):
+                out = model.apply({"params": p}, v + carry * 1e-24)
+                return out.mean().astype(v.dtype), None
+
+            c, _ = lax.scan(body, jnp.zeros((), v.dtype), None,
+                            length=args.iters)
+            return c
+
+        f = lambda: np.asarray(jax.device_get(run(params, x)))
+
+    f()  # compile + warm
     with jax.profiler.trace(args.outdir):
-        np.asarray(jax.device_get(run(params, x)))
+        f()
 
     # Aggregate device-op durations from the perfetto trace.
     paths = sorted(glob.glob(

@@ -20,7 +20,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import packed_qkv_attention
 
 __all__ = [
     "TokenAggregator",
@@ -113,8 +113,6 @@ class TorchMultiHeadAttention(nn.Module):
         else:
             # packed path: one relayout instead of split + 3 head
             # transposes (17% of fwd device time, profile_forward.py)
-            from ..ops.attention import packed_qkv_attention
-
             out = packed_qkv_attention(
                 qkv, self.n_heads, implementation=self.attn_impl
             )

@@ -18,7 +18,7 @@ from flax import linen as nn
 from ..curves import flat_lut
 from ..tokenizers.embeddings import curve_gather, patchify
 from .posemb import gfpe, sincos_1d
-from ..ops.attention import multi_head_attention
+from ..ops.attention import packed_qkv_attention
 
 __all__ = ["CurvePatchEmbedding", "PreNormTransformer", "SimpleViT", "CurveViT", "HilbertViT", "curve_pair_pool"]
 
@@ -96,8 +96,6 @@ class _PreNormAttention(nn.Module):
         else:
             # packed path: one relayout instead of split + 3 head
             # transposes (17% of fwd device time, profile_forward.py)
-            from ..ops.attention import packed_qkv_attention
-
             out = packed_qkv_attention(
                 qkv, self.heads, implementation=self.attn_impl
             )

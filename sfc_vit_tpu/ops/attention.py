@@ -107,15 +107,29 @@ def dot_product_attention_bf16(
     return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
 
 
-def _pallas_available(q: jnp.ndarray) -> bool:
+#: Sequence-length crossover for the auto dispatch (measured on v5e,
+#: RESULTS.md): below it XLA's fused attention wins, at/above it the
+#: streaming flash kernel wins.
+_PALLAS_MIN_N = 1024
+_PALLAS_HEAD_DIMS = (64, 128, 256)
+
+_IMPLEMENTATIONS = (
+    "auto", "xla", "xla_bf16", "pallas", "local", "ring", "sp",
+)
+
+
+def _pallas_ok(n: int, dh: int) -> bool:
+    """The single auto-dispatch gate for the flash kernel (shared by
+    :func:`multi_head_attention` and :func:`packed_qkv_attention` so the
+    measured crossover lives in one place)."""
     if jax.default_backend() != "tpu":
         return False
+    return dh in _PALLAS_HEAD_DIMS and n >= _PALLAS_MIN_N
+
+
+def _pallas_available(q: jnp.ndarray) -> bool:
     b, n, h, dh = q.shape
-    # Measured on v5e (RESULTS.md): for short ViT sequences XLA's fused
-    # attention beats the block-q kernel (padding 196->256 and dh=64 lane
-    # padding dominate); the kernel wins once the [N, N] matrix would be
-    # the HBM bottleneck.  Crossover set conservatively at 1k tokens.
-    return dh in (64, 128, 256) and n >= 1024
+    return _pallas_ok(n, dh)
 
 
 def _bf16_softmax_ok(q: jnp.ndarray) -> bool:
@@ -127,9 +141,16 @@ def _bf16_softmax_ok(q: jnp.ndarray) -> bool:
     fp32- and bf16-softmax training (3 seeds x 10 epochs, bf16
     activations), while the fp32 round-trip costs ~16% of attention
     time at ViT-B shapes (3.00 -> 2.53 ms, RESULTS.md round 2).
+    Short sequences only (the study's regime; at >= _PALLAS_MIN_N the
+    flash kernel takes over, and when its head-dim gate fails we keep
+    fp32 softmax rather than extrapolate the study to long rows).
     Explicit ``implementation='xla'`` still forces fp32 softmax.
     """
-    return jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16
+    return (
+        jax.default_backend() == "tpu"
+        and q.dtype == jnp.bfloat16
+        and q.shape[1] < _PALLAS_MIN_N
+    )
 
 
 def packed_qkv_attention(
@@ -153,14 +174,16 @@ def packed_qkv_attention(
     kernel-backed implementations (pallas/local/ring/sp), which manage
     their own layouts.
     """
+    if implementation not in _IMPLEMENTATIONS:
+        raise ValueError(
+            f"unknown attention implementation {implementation!r}; "
+            f"one of {_IMPLEMENTATIONS}"
+        )
     b, n, three_inner = qkv.shape
     inner = three_inner // 3
     dh = inner // heads
     kernel_backed = implementation in ("pallas", "local", "ring", "sp") or (
-        implementation == "auto"
-        and jax.default_backend() == "tpu"
-        and dh in (64, 128, 256)
-        and n >= 1024
+        implementation == "auto" and _pallas_ok(n, dh)
     )
     if kernel_backed:
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -246,8 +269,11 @@ def multi_head_attention(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
-    if implementation not in ("auto", "xla", "xla_bf16", "pallas", "local"):
-        raise ValueError(f"unknown attention implementation {implementation!r}")
+    if implementation not in _IMPLEMENTATIONS:
+        raise ValueError(
+            f"unknown attention implementation {implementation!r}; "
+            f"one of {_IMPLEMENTATIONS}"
+        )
     if implementation == "auto" and _bf16_softmax_ok(q):
         return dot_product_attention_bf16(q, k, v, scale)
     return dot_product_attention_xla(q, k, v, scale)

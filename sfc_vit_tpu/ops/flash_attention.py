@@ -42,11 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attention import dot_product_attention_xla
+from .kernel_utils import LANES as _LANES, NEG_INF as _NEG_INF, \
+    lane_bcast as _lane_bcast, round_up as _round_up
 
 __all__ = ["flash_attention"]
-
-_NEG_INF = -1e30
-_LANES = 128
 # Above this padded length the full-KV fused backward would not fit the
 # 16 MB scoped VMEM (measured on v5e: block_q=512 at N=4096 needs 25.8 MB
 # — logits-sized fp32 temporaries + full dK/dV blocks); switch to the
@@ -54,21 +53,6 @@ _LANES = 128
 _FUSED_BWD_MAX = 2048
 # Streaming forward: single K step (full-KV data movement) up to here.
 _SINGLE_KSTEP_MAX = 4096
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _lane_bcast(x, width: int):
-    """Broadcast a [rows, 128] lane-replicated value to [rows, width]."""
-    if width == _LANES:
-        return x
-    if width < _LANES:
-        return x[:, :width]
-    reps, rem = divmod(width, _LANES)
-    assert rem == 0, f"width {width} not a multiple of {_LANES}"
-    return jnp.tile(x, (1, reps))
 
 
 # ---------------------------------------------------------------------------

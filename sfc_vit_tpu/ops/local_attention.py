@@ -29,9 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["local_block_attention", "local_block_attention_xla"]
+from .kernel_utils import LANES as _LANES, NEG_INF as _NEG_INF, \
+    lane_bcast as _lane_bcast, round_up as _round_up
 
-_NEG_INF = -1e30
+__all__ = ["local_block_attention", "local_block_attention_xla"]
 
 
 def local_block_attention_xla(
@@ -54,20 +55,6 @@ def local_block_attention_xla(
     logits = jnp.where(mask[None, None], logits, _NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
-
-
-_LANES = 128
-
-
-def _lane_bcast(x, width: int):
-    """Broadcast a [rows, 128] lane-replicated value to [rows, width]."""
-    if width == _LANES:
-        return x
-    if width < _LANES:
-        return x[:, :width]
-    reps, rem = divmod(width, _LANES)
-    assert rem == 0, f"width {width} not a multiple of {_LANES}"
-    return jnp.tile(x, (1, reps))
 
 
 def _kernel(q_ref, *refs, scale: float, n_actual: int, block: int,
@@ -113,10 +100,6 @@ def _kernel(q_ref, *refs, scale: float, n_actual: int, block: int,
         lse_ref[0] = jax.lax.broadcast_in_dim(
             lse, lse_ref.shape[1:], (0, 1)
         )
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @functools.partial(

@@ -107,24 +107,40 @@ def sequence_parallel_attention(
 
     Returns output sharded identically to q.  N must divide the axis
     size.  Off-mesh (axis size 1) this degenerates to local attention.
-    ``implementation`` selects the per-device attention math for the
-    local Q-slice x gathered-K/V computation ("auto" picks the flash
-    kernel on TPU; "xla"/"xla_bf16"/"pallas" force a path).
+    ``implementation`` selects the per-device softmax math for the
+    local Q-slice x gathered-K/V computation: "xla" (fp32 softmax) or
+    "xla_bf16"; "auto" picks bf16 softmax for bf16 inputs on TPU.
+    The local computation is *cross*-attention (the gathered K/V is
+    ``p`` times longer than the Q slice), which the square flash/local
+    kernels do not accept — those selections fall back to "auto", and
+    :func:`ring_attention` is the memory-optimal long-context choice.
     """
     dh = q.shape[-1]
     s = dh ** -0.5 if scale is None else scale
-    if implementation in ("ring", "sp", "local"):
-        # 'ring'/'sp' would recurse through the dispatcher; 'local'
-        # windows assume the full sequence. Use the default local math.
+    if implementation not in ("xla", "xla_bf16"):
         implementation = "auto"
 
     def local(qb, kb, vb):
-        from ..ops.attention import multi_head_attention
+        from ..ops.attention import (
+            _PALLAS_MIN_N,
+            dot_product_attention_bf16,
+        )
 
         kg = jax.lax.all_gather(kb, axis, axis=1, tiled=True)
         vg = jax.lax.all_gather(vb, axis, axis=1, tiled=True)
-        return multi_head_attention(qb, kg, vg, s,
-                                    implementation=implementation)
+        # bf16-softmax auto gate keys on the softmax ROW width (the
+        # gathered K length, not the local Q slice) — same study-backed
+        # short-row regime as ops.attention._bf16_softmax_ok.
+        bf16_ok = (
+            jax.default_backend() == "tpu"
+            and qb.dtype == jnp.bfloat16
+            and kg.shape[1] < _PALLAS_MIN_N
+        )
+        if implementation == "xla_bf16" or (
+            implementation == "auto" and bf16_ok
+        ):
+            return dot_product_attention_bf16(qb, kg, vg, s)
+        return dot_product_attention_xla(qb, kg, vg, s)
 
     spec = P(None, axis, None, None)
     fn = shard_map(

@@ -112,6 +112,15 @@ class Trainer:
                 raise ValueError(
                     f"init_params tree mismatch: {want} vs model {got}"
                 )
+            for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(init_params),
+                jax.tree_util.tree_leaves(self.state.params),
+            ):
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"init_params leaf {jax.tree_util.keystr(path)} "
+                        f"has shape {a.shape}, model expects {b.shape}"
+                    )
             # Rebuild the optimizer state from the injected params so
             # AdamW moments reference the right leaves.
             self.state = self.state.replace(

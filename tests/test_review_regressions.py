@@ -118,3 +118,109 @@ def test_epoch_batches_equal_steps_across_hosts():
         for p in range(2)
     ]
     assert counts[0] == counts[1]
+
+
+# ---- round-2 self-review fixes ----
+
+
+def test_packed_qkv_attention_rejects_unknown_impl():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from sfc_vit_tpu.ops.attention import packed_qkv_attention
+
+    qkv = jnp.zeros((1, 8, 3 * 32))
+    with _pytest.raises(ValueError, match="unknown attention"):
+        packed_qkv_attention(qkv, 2, implementation="locall")
+
+
+def test_bf16_softmax_gate_respects_sequence_length():
+    """auto must not extrapolate the bf16-softmax study past the flash
+    crossover: long rows keep fp32 softmax even when the pallas head-dim
+    gate fails."""
+    import jax.numpy as jnp
+
+    from sfc_vit_tpu.ops.attention import _PALLAS_MIN_N, _bf16_softmax_ok
+
+    long_q = jnp.zeros((1, _PALLAS_MIN_N, 2, 32), jnp.bfloat16)
+    assert not _bf16_softmax_ok(long_q)  # regardless of backend
+
+
+def test_sequence_parallel_attention_honors_impl_without_flash():
+    """The gathered K/V is p x longer than the Q slice (cross-attention)
+    — every implementation selection must route to a rectangular-safe
+    path (the square flash kernel crashed at trace time here)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sfc_vit_tpu.ops.attention import dot_product_attention_xla
+    from sfc_vit_tpu.parallel import make_mesh
+    from sfc_vit_tpu.parallel.sequence import sequence_parallel_attention
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 2048, 2, 64)),
+                    dtype=jnp.float32)
+        for _ in range(3)
+    )
+    want = np.asarray(dot_product_attention_xla(q, k, v))
+    for impl in ("auto", "pallas", "xla"):  # 'pallas' must remap safely
+        got = np.asarray(sequence_parallel_attention(
+            mesh, q, k, v, axis="model", implementation=impl
+        ))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_trainer_init_params_shape_mismatch_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from sfc_vit_tpu.models.retrofit import (
+        load_torchvision_vit,
+        synthetic_torchvision_state_dict,
+    )
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    sd = synthetic_torchvision_state_dict()
+    model, params = load_torchvision_vit(sd, image_size=64, num_classes=10)
+    params["encoder_layer_0"]["mlp_1"]["kernel"] = np.zeros(
+        (3, 3), np.float32
+    )
+    with _pytest.raises(ValueError, match="shape"):
+        Trainer(
+            model, TrainConfig(num_classes=10, epochs=1),
+            steps_per_epoch=1,
+            sample_input=np.zeros((2, 64, 64, 3), np.float32),
+            init_params=params,
+        )
+
+
+def test_dryrun_subprocess_overrides_stale_device_count(monkeypatch):
+    """A pre-existing smaller device-count flag must be replaced, not
+    kept (it would defeat the bootstrap)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    captured = {}
+
+    def fake_run(cmd, env=None, **kw):
+        captured["flags"] = env["XLA_FLAGS"]
+
+        class R:
+            returncode = 0
+            stdout = ""
+            stderr = ""
+
+        return R()
+
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=4"
+    )
+    monkeypatch.setattr("subprocess.run", fake_run)
+    ge._dryrun_in_subprocess(8)
+    assert "--xla_force_host_platform_device_count=8" in captured["flags"]
+    assert "count=4" not in captured["flags"]
