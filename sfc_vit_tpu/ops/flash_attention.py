@@ -24,7 +24,11 @@ Backward:
     dK/dV over ``(bh, nk, nq)`` — both O(block) VMEM, reusing the saved
     LSE plus ``delta = rowsum(dO * O)`` computed in XLA.
 
-Layout: [B, N, H, Dh] in/out (matches ``ops.attention``).  Parity with
+Layout: [B, N, H, Dh] in/out (matches ``ops.attention``); rectangular
+(cross-attention) shapes are supported — K/V may have a different
+sequence length than Q (used by the Ulysses-style
+``parallel.sequence_parallel_attention`` for its Q-slice x
+gathered-K/V step).  Parity with
 the reference semantics (``torch.nn.functional.scaled_dot_product_
 attention`` at /root/reference/src/vit.py) is pinned by
 tests/test_ops.py; fp32-softmax numerics match
@@ -178,22 +182,23 @@ def _flash_fwd(
     return_lse: bool = False,
     interpret: bool = False,
 ):
-    b, n, h, dh = q.shape
+    b, nq, h, dh = q.shape
+    nk = k.shape[1]  # cross-attention: K/V may differ from Q in length
     bh = b * h
 
     def to_bhnd(x):
-        return x.transpose(0, 2, 1, 3).reshape(bh, n, dh)
+        return x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], dh)
 
     qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
-    n_pad_q = _round_up(n, block_q)
-    bk = _auto_block_k(n) if block_k is None else block_k
-    g = _auto_block_h(n, h) if block_h is None else block_h
+    n_pad_q = _round_up(nq, block_q)
+    bk = _auto_block_k(nk) if block_k is None else block_k
+    g = _auto_block_h(max(nq, nk), h) if block_h is None else block_h
     assert bh % g == 0, f"block_h {g} must divide batch*heads {bh}"
-    n_pad_k = _round_up(n, bk)
-    if n_pad_q != n:
-        qf = jnp.pad(qf, ((0, 0), (0, n_pad_q - n), (0, 0)))
-    if n_pad_k != n:
-        pad = ((0, 0), (0, n_pad_k - n), (0, 0))
+    n_pad_k = _round_up(nk, bk)
+    if n_pad_q != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, n_pad_q - nq), (0, 0)))
+    if n_pad_k != nk:
+        pad = ((0, 0), (0, n_pad_k - nk), (0, 0))
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
 
@@ -213,7 +218,7 @@ def _flash_fwd(
         )
     res = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, scale=scale, n_actual=n, block_k=bk,
+            _fwd_kernel, scale=scale, n_actual=nk, block_k=bk,
             with_lse=return_lse,
             _single_k_step=(n_pad_k // bk == 1),
         ),
@@ -248,10 +253,10 @@ def _flash_fwd(
     out, lse = (res if return_lse else (res, None))
 
     def from_bhnd(x):
-        return x[:, :n].reshape(b, h, n, dh).transpose(0, 2, 1, 3)
+        return x[:, :nq].reshape(b, h, nq, dh).transpose(0, 2, 1, 3)
 
     if return_lse:
-        return from_bhnd(out), lse  # lse stays [BH, Npad, 128]
+        return from_bhnd(out), lse  # lse stays [BH, Npad_q, 128]
     return from_bhnd(out)
 
 
@@ -323,52 +328,57 @@ def _fused_bwd_kernel(
     jax.jit, static_argnames=("scale", "block_q", "interpret")
 )
 def _fused_bwd(q, k, v, g, scale, block_q=128, interpret=False):
-    b, n, h, dh = q.shape
+    b, nq, h, dh = q.shape
+    nk = k.shape[1]  # cross-attention supported
     bh = b * h
 
     def to_bhnd(x):
-        return x.transpose(0, 2, 1, 3).reshape(bh, n, dh)
+        return x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], dh)
 
     qf, kf, vf, gf = (to_bhnd(t) for t in (q, k, v, g))
-    n_pad = _round_up(n, block_q)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n), (0, 0))
-        qf, kf, vf, gf = (jnp.pad(t, pad) for t in (qf, kf, vf, gf))
+    n_pad_q = _round_up(nq, block_q)
+    n_pad_k = _round_up(nk, 128)
+    if n_pad_q != nq:
+        pad = ((0, 0), (0, n_pad_q - nq), (0, 0))
+        qf, gf = (jnp.pad(t, pad) for t in (qf, gf))
+    if n_pad_k != nk:
+        pad = ((0, 0), (0, n_pad_k - nk), (0, 0))
+        kf, vf = (jnp.pad(t, pad) for t in (kf, vf))
 
-    grid = (bh, n_pad // block_q)
+    grid = (bh, n_pad_q // block_q)
     tile = lambda: pl.BlockSpec(
         (1, block_q, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
     full = lambda: pl.BlockSpec(
-        (1, n_pad, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, n_pad_k, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, scale=scale, n_actual=n),
+        functools.partial(_fused_bwd_kernel, scale=scale, n_actual=nk),
         grid=grid,
         in_specs=[tile(), full(), full(), tile()],
         out_specs=(tile(), full(), full()),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, n_pad, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, dh), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad_q, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad_k, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad_k, dh), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=10 * bh * n_pad * n_pad * dh,
-            bytes_accessed=8 * bh * n_pad * dh * q.dtype.itemsize,
-            transcendentals=bh * n_pad * n_pad,
+            flops=10 * bh * n_pad_q * n_pad_k * dh,
+            bytes_accessed=8 * bh * n_pad_q * dh * q.dtype.itemsize,
+            transcendentals=bh * n_pad_q * n_pad_k,
         ),
         interpret=interpret,
     )(qf, kf, vf, gf)
 
-    def from_bhnd(x, dtype):
+    def from_bhnd(x, n, dtype):
         return (
             x[:, :n].reshape(b, h, n, dh).transpose(0, 2, 1, 3).astype(dtype)
         )
 
     return (
-        from_bhnd(dq, q.dtype),
-        from_bhnd(dk, k.dtype),
-        from_bhnd(dv, v.dtype),
+        from_bhnd(dq, nq, q.dtype),
+        from_bhnd(dk, nk, k.dtype),
+        from_bhnd(dv, nk, v.dtype),
     )
 
 
@@ -479,20 +489,21 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
     """Streaming backward: dQ pass over (bh, nq, nk), dK/dV pass over
     (bh, nk, nq).  Uses the forward's LSE; delta = rowsum(dO*O) is a
     cheap XLA elementwise+reduce."""
-    b, n, h, dh = q.shape
+    b, nq, h, dh = q.shape
+    nk = k.shape[1]  # cross-attention supported
     bh = b * h
 
     def to_bhnd(x):
-        return x.transpose(0, 2, 1, 3).reshape(bh, n, dh)
+        return x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], dh)
 
     qf, kf, vf, gf, of = (to_bhnd(t) for t in (q, k, v, g, o))
-    n_pad_q = _round_up(n, block_q)
-    n_pad_k = _round_up(n, block_k)
-    if n_pad_q != n:
-        pad = ((0, 0), (0, n_pad_q - n), (0, 0))
+    n_pad_q = _round_up(nq, block_q)
+    n_pad_k = _round_up(nk, block_k)
+    if n_pad_q != nq:
+        pad = ((0, 0), (0, n_pad_q - nq), (0, 0))
         qf, gf, of = (jnp.pad(t, pad) for t in (qf, gf, of))
-    if n_pad_k != n:
-        pad = ((0, 0), (0, n_pad_k - n), (0, 0))
+    if n_pad_k != nk:
+        pad = ((0, 0), (0, n_pad_k - nk), (0, 0))
         kf, vf = (jnp.pad(t, pad) for t in (kf, vf))
 
     # delta[i, r] = sum_d dO[i,r,d] * O[i,r,d], lane-replicated to 128.
@@ -510,7 +521,7 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
                                         memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, n_actual=n,
+        functools.partial(_dq_kernel, scale=scale, n_actual=nk,
                           block_k=block_k),
         grid=(bh, n_pad_q // block_q, n_pad_k // block_k),
         in_specs=[
@@ -533,7 +544,7 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
     )(qf, kf, vf, gf, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, n_actual=n,
+        functools.partial(_dkv_kernel, scale=scale, n_actual=nk,
                           block_k=block_k),
         grid=(bh, n_pad_k // block_k, n_pad_q // block_q),
         in_specs=[
@@ -564,15 +575,15 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
         interpret=interpret,
     )(kf, vf, qf, gf, lse, delta)
 
-    def from_bhnd(x, dtype):
+    def from_bhnd(x, n, dtype):
         return (
             x[:, :n].reshape(b, h, n, dh).transpose(0, 2, 1, 3).astype(dtype)
         )
 
     return (
-        from_bhnd(dq, q.dtype),
-        from_bhnd(dk, k.dtype),
-        from_bhnd(dv, v.dtype),
+        from_bhnd(dq, nq, q.dtype),
+        from_bhnd(dk, nk, k.dtype),
+        from_bhnd(dv, nk, v.dtype),
     )
 
 
@@ -639,7 +650,7 @@ def flash_attention(
 def _fa_fwd(q, k, v, scale, block_q, block_k, block_h, interpret):
     s = q.shape[-1] ** -0.5 if scale is None else scale
     bq = _auto_block_q(q.shape[1]) if block_q is None else block_q
-    if _use_streaming_bwd(q.shape[1]):
+    if _use_streaming_bwd(max(q.shape[1], k.shape[1])):
         out, lse = _flash_fwd(q, k, v, s, block_q=bq, block_k=block_k,
                               block_h=block_h, return_lse=True,
                               interpret=interpret)
@@ -662,7 +673,7 @@ def _fa_bwd(scale, block_q, block_k, block_h, interpret, res, g):
                               interpret=interpret)
     if block_q is not None:
         bq = block_q
-    elif q.shape[1] <= 512:
+    elif max(q.shape[1], k.shape[1]) <= 512:
         bq = _auto_block_q(q.shape[1])
     else:
         # Fused bwd holds ~5 (block_q, n_pad) fp32 temporaries; 128 is

@@ -107,34 +107,43 @@ def sequence_parallel_attention(
 
     Returns output sharded identically to q.  N must divide the axis
     size.  Off-mesh (axis size 1) this degenerates to local attention.
-    ``implementation`` selects the per-device softmax math for the
-    local Q-slice x gathered-K/V computation: "xla" (fp32 softmax) or
-    "xla_bf16"; "auto" picks bf16 softmax for bf16 inputs on TPU.
-    The local computation is *cross*-attention (the gathered K/V is
-    ``p`` times longer than the Q slice), which the square flash/local
-    kernels do not accept — those selections fall back to "auto", and
-    :func:`ring_attention` is the memory-optimal long-context choice.
+    ``implementation`` selects the per-device math for the local
+    Q-slice x gathered-K/V computation — note this is **cross**
+    attention (K/V is ``p`` times longer than the Q slice): "pallas"
+    forces the rectangular flash kernel (TPU), "xla"/"xla_bf16" the
+    explicit formulas, and "auto" picks flash past the measured
+    crossover (keyed on the gathered row width), bf16 softmax for
+    short bf16 rows, fp32 otherwise.  "ring"/"local" selections fall
+    back to "auto" (:func:`ring_attention` is the memory-optimal
+    long-context choice — it never gathers full K/V).
     """
     dh = q.shape[-1]
     s = dh ** -0.5 if scale is None else scale
-    if implementation not in ("xla", "xla_bf16"):
+    if implementation not in ("xla", "xla_bf16", "pallas"):
         implementation = "auto"
 
     def local(qb, kb, vb):
         from ..ops.attention import (
             _PALLAS_MIN_N,
+            _pallas_ok,
             dot_product_attention_bf16,
         )
 
         kg = jax.lax.all_gather(kb, axis, axis=1, tiled=True)
         vg = jax.lax.all_gather(vb, axis, axis=1, tiled=True)
-        # bf16-softmax auto gate keys on the softmax ROW width (the
-        # gathered K length, not the local Q slice) — same study-backed
-        # short-row regime as ops.attention._bf16_softmax_ok.
+        n_row = kg.shape[1]  # the softmax row width = full N
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and (
+            implementation == "pallas"
+            or (implementation == "auto" and _pallas_ok(n_row, dh))
+        ):
+            from ..ops.flash_attention import flash_attention
+
+            return flash_attention(qb, kg, vg, scale=s)
         bf16_ok = (
-            jax.default_backend() == "tpu"
+            on_tpu
             and qb.dtype == jnp.bfloat16
-            and kg.shape[1] < _PALLAS_MIN_N
+            and n_row < _PALLAS_MIN_N
         )
         if implementation == "xla_bf16" or (
             implementation == "auto" and bf16_ok

@@ -370,3 +370,51 @@ def test_packed_qkv_attention_matches_split(impl):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("nq,nk,block_k", [
+    (64, 256, None),    # Q shorter than K/V (the Ulysses-SP shape)
+    (196, 640, 128),    # ragged both sides, streamed K
+    (256, 96, None),    # K/V shorter than Q
+])
+def test_flash_attention_cross_matches_xla(nq, nk, block_k):
+    """Rectangular (cross-attention) flash: n_kv != n_q."""
+    rng = np.random.default_rng(11)
+    mk = lambda n: jnp.asarray(
+        rng.standard_normal((2, n, 4, 64)), dtype=jnp.float32
+    )
+    q, k, v = mk(nq), mk(nk), mk(nk)
+    want = dot_product_attention_xla(q, k, v)
+    got = flash_attention(q, k, v, None, None, block_k, None, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_flash_attention_cross_grads_match_xla(streaming, monkeypatch):
+    """Cross-attention grads through both backward paths."""
+    import sfc_vit_tpu.ops.flash_attention as fa
+
+    if streaming:
+        monkeypatch.setattr(fa, "_FUSED_BWD_MAX", 64)
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((1, 96, 2, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 320, 2, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 320, 2, 64)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            fa.flash_attention(q, k, v, None, 64, 128, None, True) ** 2
+        )
+
+    def loss_xla(q, k, v):
+        return jnp.sum(dot_product_attention_xla(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )

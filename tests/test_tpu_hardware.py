@@ -161,3 +161,21 @@ def test_local_attention_windowed_bwd_on_chip():
     for a, b in zip(g1, g2):
         err = np.abs(np.asarray(a) - np.asarray(b)).max()
         assert err < 2e-3, err
+
+
+def test_flash_cross_attention_on_chip():
+    """Rectangular (n_kv != n_q) flash compiles with Mosaic and matches
+    XLA — the Ulysses-SP gathered-K/V shape."""
+    from sfc_vit_tpu.ops.attention import dot_product_attention_xla
+    from sfc_vit_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((1, 512, 4, 64)) * 0.5,
+                    jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2048, 4, 64)) * 0.5,
+                    jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2048, 4, 64)) * 0.5,
+                    jnp.bfloat16)
+    got = np.asarray(flash_attention(q, k, v), np.float32)
+    want = np.asarray(dot_product_attention_xla(q, k, v), np.float32)
+    assert np.abs(got - want).max() < 3e-2
