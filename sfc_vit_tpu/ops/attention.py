@@ -182,6 +182,19 @@ def packed_qkv_attention(
     b, n, three_inner = qkv.shape
     inner = three_inner // 3
     dh = inner // heads
+    if (
+        implementation == "auto"
+        and jax.default_backend() == "tpu"
+        and n <= 512
+    ):
+        # Short-sequence fast path: whole-sequence attention straight
+        # off the packed projection (fp32 softmax, zero layout changes,
+        # no [N,N] HBM traffic) — measured 3.84 vs 4.74 ms for the
+        # XLA path at ViT-B shapes (RESULTS.md round 2).  Its VJP falls
+        # back to the XLA formula, so training cost is unchanged.
+        from .flash_attention import packed_flash_attention
+
+        return packed_flash_attention(qkv, heads, scale)
     kernel_backed = implementation in ("pallas", "local", "ring", "sp") or (
         implementation == "auto" and _pallas_ok(n, dh)
     )

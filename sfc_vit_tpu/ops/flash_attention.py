@@ -49,7 +49,7 @@ from .attention import dot_product_attention_xla
 from .kernel_utils import LANES as _LANES, NEG_INF as _NEG_INF, \
     lane_bcast as _lane_bcast, round_up as _round_up
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "packed_flash_attention"]
 # Above this padded length the full-KV fused backward would not fit the
 # 16 MB scoped VMEM (measured on v5e: block_q=512 at N=4096 needs 25.8 MB
 # — logits-sized fp32 temporaries + full dK/dV blocks); switch to the
@@ -685,3 +685,163 @@ def _fa_bwd(scale, block_q, block_k, block_h, interpret, res, g):
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV short-sequence kernel: consumes the QKV GEMM output as-is
+# ---------------------------------------------------------------------------
+
+
+def _packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
+                   n_actual: int):
+    """Whole-sequence attention on one image's packed QKV block.
+
+    The block is the projection GEMM's output row-tile ``(BQ, 3*H*Dh)``
+    — no layout change between the GEMM and the kernel, so the BNHD
+    head transposes AND the [N, N] logits HBM round-trips both vanish.
+    Heads are static lane slices, resolved in-register by Mosaic.
+    Requires the full (padded) sequence in one q block: short-N only.
+    """
+    x = qkv_ref[0]  # (BQ, 3*H*Dh)
+    inner = heads * dh
+    for h in range(heads):
+        q = x[:, h * dh : (h + 1) * dh]
+        k = x[:, inner + h * dh : inner + (h + 1) * dh]
+        v = x[:, 2 * inner + h * dh : 2 * inner + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BQ, BQ)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_actual, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        out = jax.lax.dot_general(
+            (p / l).astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * dh : (h + 1) * dh] = out.astype(o_ref.dtype)
+
+
+#: packed kernel applies when the whole padded sequence fits one q block.
+_PACKED_MAX_N = 512
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "interpret")
+)
+def _packed_fwd(qkv, heads, scale, interpret=False):
+    b, n, three_inner = qkv.shape
+    inner = three_inner // 3
+    dh = inner // heads
+    n_pad = _round_up(n, 16)
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, heads=heads, dh=dh,
+                          scale=scale, n_actual=n),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, three_inner), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, inner), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, inner), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n_pad * n_pad * dh,
+            bytes_accessed=b * n_pad * (three_inner + inner)
+            * qkv.dtype.itemsize,
+            transcendentals=b * heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :n]
+
+
+def _packed_xla_ref(qkv, heads, scale):
+    """Reference math for the packed kernel's VJP (and CPU fallback)."""
+    b, n, three_inner = qkv.shape
+    inner = three_inner // 3
+    dh = inner // heads
+    x5 = qkv.reshape(b, n, 3, heads, dh)
+    x5 = jnp.transpose(x5, (2, 0, 3, 1, 4))
+    q, k, v = x5[0], x5[1], x5[2]
+    logits = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ).astype(jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", w, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def packed_flash_attention(
+    qkv: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Short-sequence attention straight off the packed QKV projection.
+
+    [B, N, 3*H*Dh] -> [B, N, H*Dh] with fp32 softmax, zero layout
+    changes at the GEMM boundary.  Only valid for N <= ``_PACKED_MAX_N``
+    (the whole padded sequence is one VMEM block).  Backward falls back
+    to the XLA formula (flash-style recompute) — the training path's
+    cost is unchanged; this kernel is the inference fast path.
+    """
+    s = (qkv.shape[-1] // 3 // heads) ** -0.5 if scale is None else scale
+    return _packed_fwd(qkv, heads, s, interpret=interpret)
+
+
+def _pfa_fwd(qkv, heads, scale, interpret):
+    """Differentiated forward: the XLA input-dtype-softmax formula with
+    the attention weights STORED as a residual.
+
+    custom_vjp runs this rule only when gradients flow, so training
+    keeps the measured-fastest configuration (store-p autodiff, 954
+    train img/s at ViT-B) while non-differentiated calls — inference —
+    take the Pallas packed kernel (2,712 img/s headline).  Measured
+    losers: jax.vjp(_packed_xla_ref) recompute paid a full extra
+    forward (811 train img/s); an fp32-everywhere manual backward
+    materialized four fp32 [N,N] tensors (690); input-dtype recompute
+    without stored p reached only 892.  The input-dtype softmax under
+    training matches the round-1/2 behavior and the bf16-vs-fp32
+    equivalence study (results/bf16_softmax_study.json)."""
+    b, n, three_inner = qkv.shape
+    inner = three_inner // 3
+    dh = inner // heads
+    s = dh ** -0.5 if scale is None else scale
+    x5 = qkv.reshape(b, n, 3, heads, dh)
+    x5 = jnp.transpose(x5, (2, 0, 3, 1, 4))  # (3, B, H, N, Dh)
+    q, k, v = x5[0], x5[1], x5[2]
+    sc = jnp.asarray(s, q.dtype)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * sc
+    p = jax.nn.softmax(logits, axis=-1)  # input dtype
+    out = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+    return out, (q, k, v, p)
+
+
+def _pfa_bwd(heads, scale, interpret, res, g):
+    q, k, v, p = res
+    b, h, n, dh = q.shape
+    s = dh ** -0.5 if scale is None else scale
+    sc = jnp.asarray(s, q.dtype)
+    gh = g.reshape(b, n, h, dh).transpose(0, 2, 1, 3)  # (B,H,N,Dh)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", gh, v)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * sc
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k)
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gh)
+    dx5 = jnp.stack([dq, dk, dv], axis=0)  # (3, B, H, N, Dh)
+    dqkv = jnp.transpose(dx5, (1, 3, 0, 2, 4)).reshape(
+        b, n, 3 * h * dh
+    )
+    return (dqkv,)
+
+
+packed_flash_attention.defvjp(_pfa_fwd, _pfa_bwd)

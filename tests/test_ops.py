@@ -418,3 +418,44 @@ def test_flash_attention_cross_grads_match_xla(streaming, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+@pytest.mark.parametrize("n,h,dh", [(196, 12, 64), (300, 4, 64), (64, 2, 128)])
+def test_packed_flash_attention_matches_ref(n, h, dh):
+    """Packed-QKV short-seq kernel == the XLA packed formula (and the
+    per-head slicing in-register is exact)."""
+    from sfc_vit_tpu.ops.flash_attention import (
+        _packed_xla_ref,
+        packed_flash_attention,
+    )
+
+    rng = np.random.default_rng(13)
+    qkv = jnp.asarray(
+        rng.standard_normal((2, n, 3 * h * dh)), dtype=jnp.float32
+    )
+    want = _packed_xla_ref(qkv, h, dh ** -0.5)
+    got = packed_flash_attention(qkv, h, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_packed_flash_attention_grads():
+    from sfc_vit_tpu.ops.flash_attention import (
+        _packed_xla_ref,
+        packed_flash_attention,
+    )
+
+    rng = np.random.default_rng(14)
+    qkv = jnp.asarray(
+        rng.standard_normal((1, 96, 3 * 2 * 64)), dtype=jnp.float32
+    )
+    g1 = jax.grad(
+        lambda t: jnp.sum(packed_flash_attention(t, 2, None, True) ** 2)
+    )(qkv)
+    g2 = jax.grad(
+        lambda t: jnp.sum(_packed_xla_ref(t, 2, 64 ** -0.5) ** 2)
+    )(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-4
+    )
