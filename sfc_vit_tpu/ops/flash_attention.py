@@ -694,35 +694,38 @@ flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
 def _packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
                    n_actual: int):
-    """Whole-sequence attention on one image's packed QKV block.
+    """Whole-sequence attention on ``block_b`` images' packed QKV blocks.
 
-    The block is the projection GEMM's output row-tile ``(BQ, 3*H*Dh)``
-    — no layout change between the GEMM and the kernel, so the BNHD
-    head transposes AND the [N, N] logits HBM round-trips both vanish.
-    Heads are static lane slices, resolved in-register by Mosaic.
+    Each block is the projection GEMM's output row-tile
+    ``(block_b, BQ, 3*H*Dh)`` — no layout change between the GEMM and
+    the kernel, so the BNHD head transposes AND the [N, N] logits HBM
+    round-trips both vanish.  Heads are static lane slices, resolved
+    in-register by Mosaic; folding several images per grid step
+    amortizes the per-step scalar/dispatch work of the 3*H slices.
     Requires the full (padded) sequence in one q block: short-N only.
     """
-    x = qkv_ref[0]  # (BQ, 3*H*Dh)
     inner = heads * dh
-    for h in range(heads):
-        q = x[:, h * dh : (h + 1) * dh]
-        k = x[:, inner + h * dh : inner + (h + 1) * dh]
-        v = x[:, 2 * inner + h * dh : 2 * inner + (h + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (BQ, BQ)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_actual, s, _NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        out = jax.lax.dot_general(
-            (p / l).astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, h * dh : (h + 1) * dh] = out.astype(o_ref.dtype)
+    for bi in range(qkv_ref.shape[0]):
+        x = qkv_ref[bi]  # (BQ, 3*H*Dh)
+        for h in range(heads):
+            q = x[:, h * dh : (h + 1) * dh]
+            k = x[:, inner + h * dh : inner + (h + 1) * dh]
+            v = x[:, 2 * inner + h * dh : 2 * inner + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (BQ, BQ)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_actual, s, _NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            out = jax.lax.dot_general(
+                (p / l).astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[bi, :, h * dh : (h + 1) * dh] = out.astype(o_ref.dtype)
 
 
 #: packed kernel applies when the whole padded sequence fits one q block.
@@ -730,24 +733,30 @@ _PACKED_MAX_N = 512
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "scale", "interpret")
+    jax.jit, static_argnames=("heads", "scale", "block_b", "interpret")
 )
-def _packed_fwd(qkv, heads, scale, interpret=False):
+def _packed_fwd(qkv, heads, scale, block_b=None, interpret=False):
     b, n, three_inner = qkv.shape
     inner = three_inner // 3
     dh = inner // heads
     n_pad = _round_up(n, 16)
     if n_pad != n:
         qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    if block_b is None:
+        # measured (v5e, ViT-B shapes): 1 > 2 > 4 > 8 — bigger image
+        # folds reduce the DMA/compute pipelining overlap.
+        block_b = 1
+    assert b % block_b == 0, f"block_b {block_b} must divide batch {b}"
     out = pl.pallas_call(
         functools.partial(_packed_kernel, heads=heads, dh=dh,
                           scale=scale, n_actual=n),
-        grid=(b,),
+        grid=(b // block_b,),
         in_specs=[
-            pl.BlockSpec((1, n_pad, three_inner), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((block_b, n_pad, three_inner),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, n_pad, inner), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, n_pad, inner),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, inner), qkv.dtype),
         cost_estimate=pl.CostEstimate(
