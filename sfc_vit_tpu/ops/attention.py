@@ -182,18 +182,20 @@ def packed_qkv_attention(
     b, n, three_inner = qkv.shape
     inner = three_inner // 3
     dh = inner // heads
+    from .flash_attention import _PACKED_MAX_N, packed_flash_attention
+
     if (
         implementation == "auto"
         and jax.default_backend() == "tpu"
-        and n <= 512
+        and n <= _PACKED_MAX_N
     ):
         # Short-sequence fast path: whole-sequence attention straight
         # off the packed projection (fp32 softmax, zero layout changes,
-        # no [N,N] HBM traffic) — measured 3.84 vs 4.74 ms for the
-        # XLA path at ViT-B shapes (RESULTS.md round 2).  Its VJP falls
-        # back to the XLA formula, so training cost is unchanged.
-        from .flash_attention import packed_flash_attention
-
+        # no [N,N] HBM traffic) — measured 3.84 vs 4.74 ms for the XLA
+        # path at ViT-B shapes and 4.03 vs 7.15 for split+flash at 1024
+        # tokens (RESULTS.md round 2).  Under differentiation its VJP
+        # rule uses the store-weights XLA formula, so training keeps
+        # the measured-fastest configuration.
         return packed_flash_attention(qkv, heads, scale)
     kernel_backed = implementation in ("pallas", "local", "ring", "sp") or (
         implementation == "auto" and _pallas_ok(n, dh)

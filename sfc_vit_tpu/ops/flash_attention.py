@@ -728,8 +728,10 @@ def _packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
             o_ref[bi, :, h * dh : (h + 1) * dh] = out.astype(o_ref.dtype)
 
 
-#: packed kernel applies when the whole padded sequence fits one q block.
-_PACKED_MAX_N = 512
+#: packed kernel applies when the whole padded sequence fits one q block
+#: (VMEM-bound: at 2048 the fp32 logits tile alone is the 16 MB scoped
+#: budget).  Measured at 1024 tokens: 4.03 ms vs 7.15 for split+flash.
+_PACKED_MAX_N = 1024
 
 
 @functools.partial(

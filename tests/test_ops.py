@@ -420,7 +420,7 @@ def test_flash_attention_cross_grads_match_xla(streaming, monkeypatch):
         )
 
 
-@pytest.mark.parametrize("n,h,dh", [(196, 12, 64), (300, 4, 64), (64, 2, 128)])
+@pytest.mark.parametrize("n,h,dh", [(196, 12, 64), (300, 4, 64), (64, 2, 128), (600, 2, 64)])
 def test_packed_flash_attention_matches_ref(n, h, dh):
     """Packed-QKV short-seq kernel == the XLA packed formula (and the
     per-head slicing in-register is exact)."""
