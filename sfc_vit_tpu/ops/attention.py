@@ -15,13 +15,20 @@ Implementations:
   * ``"ring"``/``"sp"`` -- sequence-parallel attention over the ambient
                       ``parallel.sequence_sharding`` mesh axis (ppermute
                       ring / all-gather-KV); degrade to xla off-mesh.
-  * ``"auto"``     -- TPU: pallas at >=1k tokens, bf16 softmax for bf16
-                      inputs below (accuracy-study-gated,
-                      results/bf16_softmax_study.json); else xla.
+  * ``"auto"``     -- TPU, packed entry point: the packed-QKV Pallas
+                      kernel while the whole sequence fits VMEM
+                      (fp32 softmax, N <= ~1k; measured 1.98x XLA
+                      end-to-end at 1k tokens), streaming flash past
+                      1k tokens.  TPU, BNHD entry point: flash at
+                      >=1k, bf16 softmax for short bf16 rows
+                      (accuracy-study-gated,
+                      results/bf16_softmax_study.json).  CPU: xla.
 
 ``packed_qkv_attention`` is the preferred model-side entry point: it
-takes the packed QKV projection and avoids the split/head-reshape
-relayouts (17% of ViT-B fwd device time, scripts/profile_forward.py).
+takes the packed QKV projection as-is — the kernel consumes the
+projection GEMM's output block with zero layout changes, and even the
+XLA fallback avoids the split/head-reshape relayouts (17% of ViT-B fwd
+device time, scripts/profile_forward.py).
 """
 
 from __future__ import annotations
@@ -182,12 +189,15 @@ def packed_qkv_attention(
     b, n, three_inner = qkv.shape
     inner = three_inner // 3
     dh = inner // heads
-    from .flash_attention import _PACKED_MAX_N, packed_flash_attention
+    from .flash_attention import (
+        packed_attention_fits,
+        packed_flash_attention,
+    )
 
     if (
         implementation == "auto"
         and jax.default_backend() == "tpu"
-        and n <= _PACKED_MAX_N
+        and packed_attention_fits(n, three_inner, qkv.dtype.itemsize)
     ):
         # Short-sequence fast path: whole-sequence attention straight
         # off the packed projection (fp32 softmax, zero layout changes,

@@ -734,6 +734,21 @@ def _packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
 _PACKED_MAX_N = 1024
 
 
+def packed_attention_fits(n: int, three_inner: int, itemsize: int) -> bool:
+    """VMEM gate for :func:`packed_flash_attention`: the whole-sequence
+    block + two live fp32 [N, N] tiles must fit the 16 MB scoped VMEM.
+    Calibrated against compiled-good shapes (ViT-B/196 bf16 ~1.4 MB;
+    h8/dh64/1024 bf16 ~11.5 MB) with headroom below the observed limit;
+    wider-x-longer combinations fall back to the split flash path
+    instead of failing Mosaic compilation."""
+    if n > _PACKED_MAX_N:
+        return False
+    n_pad = _round_up(n, 16)
+    n_lanes = _round_up(n_pad, _LANES)
+    budget = n_pad * three_inner * itemsize + 2 * n_pad * n_lanes * 4
+    return budget <= 12 * 2 ** 20
+
+
 @functools.partial(
     jax.jit, static_argnames=("heads", "scale", "block_b", "interpret")
 )
