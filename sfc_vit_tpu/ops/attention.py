@@ -187,6 +187,11 @@ def packed_qkv_attention(
             f"one of {_IMPLEMENTATIONS}"
         )
     b, n, three_inner = qkv.shape
+    if three_inner % (3 * heads) != 0:
+        raise ValueError(
+            f"packed QKV feature dim {three_inner} must be divisible by "
+            f"3*heads={3 * heads}"
+        )
     inner = three_inner // 3
     dh = inner // heads
     from .flash_attention import (
