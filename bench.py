@@ -37,7 +37,7 @@ def _build(curve: str, quick: bool, attn_impl: str, dtype):
     return CurveViT(curve=curve, dtype=dtype, attn_impl=attn_impl, **kw)
 
 
-def _throughput(model, params, x, iters: int) -> float:
+def _throughput(model, params, x, iters: int, apply_fn=None) -> float:
     """Device-side timing: the iteration loop runs as one jitted
     ``lax.scan`` (a single dispatch), with each iteration's input
     perturbed by the previous output so the compiler cannot hoist the
@@ -49,10 +49,14 @@ def _throughput(model, params, x, iters: int) -> float:
     import numpy as _np
     from jax import lax
 
+    if apply_fn is None:
+        def apply_fn(p, v):
+            return model.apply({"params": p}, v)
+
     @jax.jit
     def run(p, v):
         def body(carry, _):
-            out = model.apply({"params": p}, v + carry * 1e-24)
+            out = apply_fn(p, v + carry * 1e-24)
             return out.mean().astype(v.dtype), None
 
         c, _ = lax.scan(body, jnp.zeros((), v.dtype), None, length=iters)
@@ -126,6 +130,9 @@ def main(argv=None) -> dict:
     p.add_argument("--platform", default=None)
     p.add_argument("--train", action="store_true",
                    help="measure training-step throughput instead")
+    p.add_argument("--quant", default=None, choices=[None, "int8"],
+                   help="opt-in post-training int8 serving path "
+                        "(sfc_vit_tpu.quant; inference only)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -164,7 +171,29 @@ def main(argv=None) -> dict:
                 params,
             )
 
-        ips = _throughput(model, params, x, args.iters)
+        apply_fn = None
+        if args.quant == "int8":
+            from sfc_vit_tpu.quant import (
+                quantize_dense_params,
+                quantized_apply,
+                strip_quantized_kernels,
+            )
+
+            qtable = quantize_dense_params({"params": params})
+            stripped = strip_quantized_kernels({"params": params}, qtable)[
+                "params"
+            ]
+            # Bundle the side-table INTO the jit argument: closing over
+            # it would bake ~d_model^2*depth int8 bytes into the HLO as
+            # constants (HTTP 413 on the remote backend, CLAUDE.md).
+            params = {"p": stripped, "q": qtable}
+
+            def apply_fn(bundle, v, _m=model):
+                return quantized_apply(
+                    _m, {"params": bundle["p"]}, bundle["q"], v
+                )
+
+        ips = _throughput(model, params, x, args.iters, apply_fn)
         results[curve] = ips
         print(
             f"# {curve:8s} {ips:12.1f} images/sec "

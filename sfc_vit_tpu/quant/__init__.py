@@ -1,0 +1,22 @@
+"""Post-training int8 quantization for TPU serving (new capability;
+the torch reference serves fp32/amp only, ``main.py:158-159``)."""
+
+from .int8 import (
+    dynamic_quantize,
+    int8_dense,
+    intercept_dense,
+    quantize_dense_params,
+    quantize_weight,
+    quantized_apply,
+    strip_quantized_kernels,
+)
+
+__all__ = [
+    "dynamic_quantize",
+    "int8_dense",
+    "intercept_dense",
+    "quantize_dense_params",
+    "quantize_weight",
+    "quantized_apply",
+    "strip_quantized_kernels",
+]

@@ -1,0 +1,205 @@
+"""Post-training int8 quantization for serving.
+
+TPU v5e's MXU runs int8 matmuls at 2x the bf16 rate (394 vs 197
+TOPS peak), so a GEMM-bound ViT forward has real headroom beyond
+bf16.  This module adds a *post-training* int8 path that needs no
+model-code changes and no retraining:
+
+  * weights: per-output-channel symmetric int8 (max-abs calibration,
+    computed once at quantization time, host- or device-side);
+  * activations: per-token dynamic symmetric int8 (max-abs over the
+    feature axis, computed in-graph -- a cheap VPU reduction XLA fuses
+    into the surrounding elementwise work);
+  * matmul: ``lax.dot_general(int8, int8, preferred_element_type=
+    int32)`` -- the XLA lowering the MXU's int8 mode wants -- followed
+    by the fp32 rescale ``(x_scale * w_scale)`` and bias add.
+
+Integration is a flax *method interceptor* (:func:`quantized_apply` /
+:func:`intercept_dense`): every ``nn.Dense.__call__`` whose kernel was
+quantized is redirected to :func:`int8_dense`, so all model families
+(torch-parity ViTs, SimpleViT/CurveViT, retrofit) get the path without
+threading a flag through each module.  The original (unquantized)
+params tree is still what ``apply`` receives -- bypassed Dense kernels
+are simply never read -- which keeps checkpoints, param sharding and
+the fp/bf16 path untouched.
+
+The reference has no quantization story (it serves fp32/amp torch,
+``main.py:158-159``); this is new TPU-native serving capability, kept
+opt-in (``bench.py --quant int8``, ``quant_study.py`` for the accuracy
+artifact).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import unfreeze
+
+__all__ = [
+    "quantize_weight",
+    "dynamic_quantize",
+    "int8_dense",
+    "quantize_dense_params",
+    "intercept_dense",
+    "quantized_apply",
+]
+
+
+def quantize_weight(
+    w: jnp.ndarray, axis: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization of a Dense kernel.
+
+    ``w`` is a flax Dense kernel ``[d_in, d_out]``; the scale is
+    per-output-channel (max-abs over ``axis`` = the contraction axis),
+    the standard PTQ weight scheme.  Returns ``(w_i8, scale_f32)`` with
+    ``w ~= w_i8 * scale``.
+    """
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_i8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_i8, scale.squeeze(axis)
+
+
+def dynamic_quantize(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token (last-axis-row) dynamic symmetric int8 quantization.
+
+    Returns ``(x_i8, scale)`` with ``scale`` shaped like ``x`` minus the
+    last axis (keepdims), fp32.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    x_i8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return x_i8, scale
+
+
+def int8_dense(
+    x: jnp.ndarray,
+    w_i8: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    out_dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """``x @ W + b`` with the GEMM on the int8 MXU path.
+
+    ``x``: [..., d_in] float; ``w_i8``: [d_in, d_out] int8; ``w_scale``:
+    [d_out] fp32.  The int32 accumulator is rescaled by the dynamic
+    activation scale times the static weight scale.
+    """
+    x_i8, x_scale = dynamic_quantize(x)
+    acc = jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * x_scale * w_scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def _walk(tree: Dict[str, Any], path: Tuple[str, ...], out: Dict):
+    if isinstance(tree, dict):
+        keys = set(tree.keys())
+        if "kernel" in keys and getattr(tree["kernel"], "ndim", 0) == 2:
+            out[path] = tree
+        else:
+            for k, v in tree.items():
+                _walk(v, path + (k,), out)
+
+
+def quantize_dense_params(
+    params: Dict[str, Any],
+    skip: Tuple[str, ...] = (),
+) -> Dict[Tuple[str, ...], Dict[str, jnp.ndarray]]:
+    """Build the quantization side-table from a params tree.
+
+    Walks ``params['params']`` (or ``params`` directly) and quantizes
+    every 2-D ``kernel`` leaf (= every ``nn.Dense``; Convs have 3-D+
+    kernels and are skipped).  ``skip`` drops any module whose path
+    contains one of the given names (e.g. ``('out',)`` to keep the
+    classifier head in bf16).
+
+    Returns ``{module_path: {'w': int8 kernel, 'scale': [d_out] f32,
+    'bias': original bias or None}}`` keyed by the flax module path
+    tuple, as reported by ``module.path`` during apply.
+    """
+    tree = unfreeze(params)
+    if "params" in tree and isinstance(tree["params"], dict):
+        tree = tree["params"]
+    found: Dict[Tuple[str, ...], Dict] = {}
+    _walk(tree, (), found)
+    table = {}
+    for path, leaf in found.items():
+        if any(s in path for s in skip):
+            continue
+        w_i8, scale = quantize_weight(jnp.asarray(leaf["kernel"]))
+        table[path] = {
+            "w": w_i8,
+            "scale": scale,
+            "bias": jnp.asarray(leaf["bias"]) if "bias" in leaf else None,
+        }
+    return table
+
+
+def intercept_dense(qtable, out_dtype=None):
+    """A flax method interceptor routing quantized Denses to int8_dense.
+
+    Use via :func:`quantized_apply`, or directly:
+
+        with nn.intercept_methods(intercept_dense(qtable)):
+            logits = model.apply(params, x)
+    """
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (
+            type(mod) is nn.Dense
+            and context.method_name == "__call__"
+            and mod.path in qtable
+        ):
+            entry = qtable[mod.path]
+            x = args[0]
+            dt = out_dtype or mod.dtype or x.dtype
+            return int8_dense(
+                x, entry["w"], entry["scale"], entry["bias"], dt
+            )
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def quantized_apply(model: nn.Module, params, qtable, *args, **kwargs):
+    """``model.apply(params, *args)`` with int8 Dense layers.
+
+    Jittable: close over ``model`` and pass ``(params, qtable, inputs)``
+    as arguments (the side-table is a pytree of int8/f32 arrays).
+    Kernels present in ``qtable`` are never read from ``params`` --
+    serving processes can swap those leaves for placeholders to halve
+    resident weight memory (:func:`strip_quantized_kernels`).
+    """
+    with nn.intercept_methods(intercept_dense(qtable)):
+        return model.apply(params, *args, **kwargs)
+
+
+def strip_quantized_kernels(params, qtable):
+    """Replace quantized kernels in ``params`` with 1-element placeholders.
+
+    The interceptor bypasses those Dense calls entirely, so the leaves
+    are never read; shrinking them halves serving weight memory (bf16
+    originals + int8 copies -> int8 only).  Returns a new tree.
+    """
+    tree = unfreeze(params)
+    root = tree["params"] if "params" in tree else tree
+    for path in qtable:
+        node = root
+        for k in path:
+            node = node[k]
+        node["kernel"] = jnp.zeros((1,), jnp.bfloat16)
+    return tree

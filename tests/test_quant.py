@@ -1,0 +1,123 @@
+"""Int8 post-training quantization (sfc_vit_tpu.quant).
+
+New TPU-serving capability (the torch reference serves fp32/amp only,
+``main.py:158-159``); correctness is hermetic on CPU -- the int8
+dot_general semantics are backend-independent, only the speed is
+TPU-specific (RESULTS.md round 2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu.quant import (
+    dynamic_quantize,
+    int8_dense,
+    quantize_dense_params,
+    quantize_weight,
+    quantized_apply,
+    strip_quantized_kernels,
+)
+
+
+def test_weight_quant_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((128, 64)), jnp.float32)
+    w_i8, scale = quantize_weight(w)
+    w_hat = w_i8.astype(jnp.float32) * scale
+    # symmetric 127-level quant: max error <= scale/2 per channel
+    err = jnp.max(jnp.abs(w_hat - w), axis=0)
+    assert bool(jnp.all(err <= scale * 0.5 + 1e-7))
+
+
+def test_dynamic_quantize_rows():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 7, 32)) * 10, jnp.bfloat16)
+    x_i8, scale = dynamic_quantize(x)
+    assert x_i8.dtype == jnp.int8 and scale.shape == (4, 7, 1)
+    x_hat = x_i8.astype(jnp.float32) * scale
+    assert float(jnp.max(jnp.abs(x_hat - x.astype(jnp.float32)))) <= float(
+        jnp.max(scale)
+    ) * 0.5 + 1e-6
+
+
+def test_int8_dense_matches_fp32():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((8, 196, 96)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((96, 48)) / 10, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((48,)), jnp.float32)
+    ref = x @ w + b
+    w_i8, scale = quantize_weight(w)
+    out = int8_dense(x, w_i8, scale, b, jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def _tiny_vit(curve="hilbert"):
+    from sfc_vit_tpu.models import CurveViT
+
+    return CurveViT(
+        curve=curve, image_size=32, patch_size=4, num_classes=10,
+        dim=64, depth=2, heads=2, mlp_dim=128, dim_head=32,
+        dtype=jnp.float32,
+    )
+
+
+def test_quantized_model_close_and_jittable():
+    model = _tiny_vit()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x[:1])
+    ref = model.apply(params, x)
+    qtable = quantize_dense_params(params)
+    assert qtable, "no Dense kernels found to quantize"
+
+    # side-table must travel as a jit ARGUMENT (never a closure constant
+    # -- big constants blow up the remote-backend HLO upload, CLAUDE.md)
+    @jax.jit
+    def serve(p, q, v):
+        return quantized_apply(model, p, q, v)
+
+    out = serve(params, qtable, x)
+    cos = float(
+        jnp.sum(out * ref)
+        / (jnp.linalg.norm(out) * jnp.linalg.norm(ref))
+    )
+    assert cos > 0.995, cos
+    # int8 serving must preserve the argmax class on this random model
+    assert bool(jnp.all(jnp.argmax(out, -1) == jnp.argmax(ref, -1)))
+
+
+def test_strip_quantized_kernels_unused():
+    model = _tiny_vit()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x[:1])
+    qtable = quantize_dense_params(params)
+    full = quantized_apply(model, params, qtable, x)
+    stripped = strip_quantized_kernels(params, qtable)
+    out = quantized_apply(model, stripped, qtable, x)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
+
+
+def test_skip_keeps_module_fp():
+    model = _tiny_vit()
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x)
+    all_paths = set(quantize_dense_params(params))
+    head_paths = {p for p in all_paths if "linear_head" in p}
+    assert head_paths, sorted(all_paths)
+    kept = set(quantize_dense_params(params, skip=("linear_head",)))
+    assert kept == all_paths - head_paths
+    assert kept != all_paths
+
+
+def test_bench_quick_quant_cpu():
+    import bench
+
+    rec = bench.main([
+        "--quick", "--platform", "cpu", "--quant", "int8",
+        "--iters", "2", "--batch-size", "8",
+    ])
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
