@@ -103,8 +103,49 @@ class _PreNormAttention(nn.Module):
                         name="to_out")(out)
 
 
+class _LNParams(nn.Module):
+    """Param holder with ``nn.LayerNorm``'s tree (``scale``/``bias``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Param holder with ``nn.Dense``'s tree (``kernel``/``bias``) and
+    default initializers, so checkpoints/transplants are path-identical
+    whether the fused kernel or the unfused graph consumes them."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (self.in_dim, self.features),
+            ),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class _FeedForward(nn.Module):
-    """LN -> Linear -> GELU(exact) -> Linear (``altvit.py:102-113``)."""
+    """LN -> Linear -> GELU(exact) -> Linear (``altvit.py:102-113``).
+
+    The whole block (including the caller's residual add) runs as ONE
+    Pallas kernel on TPU (:func:`~sfc_vit_tpu.ops.fused_mlp.
+    fused_mlp_block`) when the weights fit VMEM; training and CPU use
+    the identical-math unfused formula (the kernel's VJP rule), so
+    checkpoints, parity, and grads are unchanged.  NOTE: unlike the
+    pre-kernel version this module ADDS THE RESIDUAL itself.
+    """
 
     dim: int
     hidden_dim: int
@@ -112,10 +153,35 @@ class _FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        from ..ops.fused_mlp import (
+            fused_mlp_block,
+            fused_mlp_fits,
+            mlp_block_xla,
+        )
+
+        ln_scale, ln_bias = _LNParams(self.dim, name="norm")()
+        w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        w1, b1, w2, b2 = (a.astype(dt) for a in (w1, b1, w2, b2))
+        import jax as _jax
+
+        d, f = self.dim, self.hidden_dim
+        if (
+            _jax.default_backend() == "tpu"
+            and d % 128 == 0
+            and f % 128 == 0
+            and fused_mlp_fits(d, f, jnp.dtype(dt).itemsize)
+        ):
+            return fused_mlp_block(
+                x, ln_scale, ln_bias, w1, b1, w2, b2,
+                eps=1e-5, activation="gelu", residual=True,
+            )
+        return mlp_block_xla(
+            x, ln_scale, ln_bias, w1, b1, w2, b2,
+            eps=1e-5, activation="gelu", residual=True,
+        )
 
 
 def curve_pair_pool(x: jnp.ndarray) -> jnp.ndarray:
@@ -162,10 +228,11 @@ class PreNormTransformer(nn.Module):
                 dtype=self.dtype, attn_impl=self.attn_impl,
                 name=f"attn_{i}",
             )(x) + x
+            # _FeedForward adds the residual in-kernel (one fused pass)
             x = ff_cls(
                 dim=self.dim, hidden_dim=self.mlp_dim, dtype=self.dtype,
                 name=f"ff_{i}",
-            )(x) + x
+            )(x)
             if i in self.pool_layers:
                 x = curve_pair_pool(x)
             if i in self.merge_layers:

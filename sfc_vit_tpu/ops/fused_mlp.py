@@ -1,0 +1,254 @@
+"""Fused transformer-MLP block: one Pallas kernel for
+``x + fc2(act(fc1(LN(x))))``.
+
+Why: profiling the ViT-B/16 forward after the packed-QKV kernel
+(scripts/profile_forward.py + the compiled HLO) showed the per-layer
+MLP work — XLA emits it as an fc1 mega-fusion plus an fc2
+``convert_reduce_fusion`` that also computes the next LayerNorm's fp32
+stats — measuring ~6 ms/layer against a ~2.6 ms roofline (474 GFLOP of
+GEMM at the 160 TF/s measured envelope + one 308 MB HBM pass).  The
+separate stats reduce and the conv-style GEMM emission leave ~half the
+time on the table.
+
+Design (TPU-first):
+  * grid over row tiles of the flattened ``[B*N, D]`` activations; each
+    step: LayerNorm (fp32 stats, eps/scale/bias identical to flax
+    ``nn.LayerNorm``) -> ``xn @ W1 + b1`` -> exact ``gelu`` (erf) or
+    ``relu`` -> ``@ W2 + b2`` -> ``+ x`` (residual), all VMEM-resident.
+  * W1/W2 blocks have constant index maps, so Mosaic fetches them once
+    and keeps them resident across the row grid — HBM traffic is one
+    read + one write of x (the hidden activation NEVER touches HBM,
+    vs 2 reads + 2 writes of the 4x-wider hidden in the unfused graph).
+  * fp32 accumulation on the MXU for both GEMMs; intermediates round to
+    the input dtype at the same points the unfused flax graph does
+    (Dense outputs), keeping bf16 numerics aligned.
+
+Backward: custom_vjp whose *differentiated* forward is the plain XLA
+formula (the same store-residuals configuration the packed-QKV
+attention kernel uses, flash_attention.py::_pfa_fwd) — training
+numerics and speed are exactly the unfused path; the kernel is the
+inference fast path.
+
+Reference scope: the reference's MLP is torch ``Linear->GELU->Linear``
+inside pre-norm blocks (``altvit.py:102-113``); this kernel implements
+the same math, re-scheduled for the MXU/VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kernel_utils import round_up as _round_up
+
+__all__ = ["fused_mlp_block", "mlp_block_xla", "fused_mlp_fits"]
+
+
+def _erf(x):
+    """erf from Mosaic-supported primitives (no ``erf`` lowering on TPU
+    Pallas): Abramowitz & Stegun 7.1.26, max abs error 1.5e-7 — below
+    fp32 gelu noise and 4 orders under the bf16 rounding the outputs
+    get anyway."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _act(h, activation: str):
+    if activation == "gelu":
+        # exact-erf gelu, matching nn.gelu(approximate=False)
+        return h * 0.5 * (1.0 + _erf(h * (2.0 ** -0.5)))
+    if activation == "relu":
+        return jnp.maximum(h, 0.0)
+    raise ValueError(f"unsupported activation {activation!r}")
+
+
+def _mlp_kernel(
+    x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+    *, eps: float, activation: str, residual: bool,
+):
+    x = x_ref[...]  # (BR, D) input dtype
+    xf = x.astype(jnp.float32)
+    # LayerNorm, flax semantics: fp32 mean/var over the feature axis,
+    # fast-variance form (E[x^2] - E[x]^2), scale+bias, round to dtype.
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean, 0.0
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    xn = (xf - mean) * inv
+    xn = xn * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
+        jnp.float32
+    )
+    xn = xn.astype(x.dtype)  # round where flax's LN output rounds
+
+    h = jax.lax.dot_general(
+        xn, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = h.astype(x.dtype)  # fc1 output rounds to dtype in the flax graph
+    h = _act(h.astype(jnp.float32), activation).astype(x.dtype)
+
+    y = jax.lax.dot_general(
+        h, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + b2_ref[...].astype(jnp.float32)
+    if residual:
+        y = y + xf
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+#: The kernel raises the scoped-VMEM limit per-call (v5e has 128 MB
+#: physical VMEM; the 16 MB default is just XLA's scoped budget), so
+#: the gate checks against _VMEM_LIMIT with double-buffered weights
+#: (conservative: Mosaic single-buffers constant-index blocks).
+_VMEM_LIMIT = 100 * 2 ** 20
+
+
+def fused_mlp_fits(
+    d: int, f: int, itemsize: int, block_r: int = 256
+) -> bool:
+    weights = 2 * (2 * d * f * itemsize)
+    tiles = 4 * block_r * d * itemsize  # x + out, double-buffered
+    hidden = block_r * f * 4 + block_r * f * itemsize
+    ln_tmp = 2 * block_r * d * 4
+    return weights + tiles + hidden + ln_tmp <= 0.6 * _VMEM_LIMIT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "residual", "block_r",
+                     "interpret"),
+)
+def _fused_mlp(
+    x, ln_scale, ln_bias, w1, b1, w2, b2,
+    eps: float, activation: str, residual: bool,
+    block_r: int = 256, interpret: bool = False,
+):
+    b, n, d = x.shape
+    f = w1.shape[1]
+    r = b * n
+    xr = x.reshape(r, d)
+    r_pad = _round_up(r, block_r)
+    if r_pad != r:
+        xr = jnp.pad(xr, ((0, r_pad - r), (0, 0)))
+    row2 = lambda a: a.reshape(1, -1)  # (1, D)/(1, F) lane vectors
+
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_kernel, eps=eps, activation=activation,
+            residual=residual,
+        ),
+        grid=(r_pad // block_r,),
+        in_specs=[
+            pl.BlockSpec((block_r, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * r_pad * d * f,
+            bytes_accessed=(2 * r_pad * d + 2 * d * f) * x.dtype.itemsize,
+            transcendentals=r_pad * f,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xr, row2(ln_scale), row2(ln_bias), w1, row2(b1), w2, row2(b2))
+    return out[:r].reshape(b, n, d)
+
+
+def mlp_block_xla(
+    x, ln_scale, ln_bias, w1, b1, w2, b2,
+    eps: float = 1e-5, activation: str = "gelu", residual: bool = True,
+):
+    """Unfused reference formula (flax Dense/LayerNorm semantics); the
+    differentiated forward of the custom VJP and the CPU fallback."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
+    )
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+    h = (xn @ w1 + b1.astype(x.dtype)).astype(x.dtype)
+    if activation == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    else:
+        h = jax.nn.relu(h)
+    y = (h @ w2 + b2.astype(x.dtype)).astype(x.dtype)
+    return x + y if residual else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_mlp_block(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    eps: float = 1e-5,
+    activation: str = "gelu",
+    residual: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``x + fc2(act(fc1(LN(x))))`` as ONE TPU kernel ([B, N, D] in/out).
+
+    Inference fast path; under differentiation the VJP rule falls back
+    to :func:`mlp_block_xla` so training is bit-identical to the
+    unfused graph.  Call sites gate on :func:`fused_mlp_fits`.
+    """
+    return _fused_mlp(
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+        eps=eps, activation=activation, residual=residual,
+        interpret=interpret,
+    )
+
+
+def _fm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
+            eps, activation, residual, interpret):
+    out, vjp = jax.vjp(
+        lambda *a: mlp_block_xla(
+            *a, eps=eps, activation=activation, residual=residual
+        ),
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+    )
+    return out, vjp
+
+
+def _fm_bwd(eps, activation, residual, interpret, vjp, g):
+    return vjp(g)
+
+
+fused_mlp_block.defvjp(_fm_fwd, _fm_bwd)

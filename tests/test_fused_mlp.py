@@ -1,0 +1,98 @@
+"""Fused MLP-block kernel (ops/fused_mlp.py).
+
+Parity is against the unfused flax-semantics formula; the kernel runs
+in interpret mode on CPU (on-chip timing lives in RESULTS.md and
+tests/test_tpu_hardware.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu.ops.fused_mlp import (
+    fused_mlp_block,
+    fused_mlp_fits,
+    mlp_block_xla,
+)
+
+
+def _inputs(b=2, n=196, d=256, f=512, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), dtype)
+    return (
+        mk(b, n, d), mk(d) * 0.1 + 1.0, mk(d) * 0.1,
+        mk(d, f) / np.sqrt(d), mk(f) * 0.1,
+        mk(f, d) / np.sqrt(f), mk(d) * 0.1,
+    )
+
+
+@pytest.mark.parametrize("activation", ["gelu", "relu"])
+def test_kernel_matches_xla_fp32(activation):
+    args = _inputs()
+    ref = mlp_block_xla(*args, activation=activation)
+    out = fused_mlp_block(*args, activation=activation, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_kernel_matches_xla_bf16():
+    args = _inputs(dtype=jnp.bfloat16)
+    ref = mlp_block_xla(*args)
+    out = fused_mlp_block(*args, interpret=True)
+    # same rounding points -> bf16-level agreement
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_row_padding():
+    # B*N not a multiple of the 256-row tile exercises the pad path
+    args = _inputs(b=1, n=100, d=256, f=512)
+    ref = mlp_block_xla(*args)
+    out = fused_mlp_block(*args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_grads_are_unfused_formula():
+    args = _inputs(b=1, n=64, d=256, f=512)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_mlp_block(*a, interpret=True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(mlp_block_xla(*a) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 3, 4, 5))(*args)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 3, 4, 5))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_fits_gate():
+    assert fused_mlp_fits(768, 3072, 2)      # ViT-B bf16
+    assert not fused_mlp_fits(4096, 16384, 2)  # weights alone >> VMEM
+
+
+def test_param_tree_unchanged_and_model_runs():
+    """_FeedForward's param paths must stay nn.Dense/nn.LayerNorm-shaped
+    (checkpoints + torch transplants depend on them)."""
+    from sfc_vit_tpu.models import SimpleViT
+
+    m = SimpleViT(image_size=32, patch_size=4, num_classes=10, dim=64,
+                  depth=1, heads=2, mlp_dim=128, dim_head=32)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = m.init({"params": jax.random.key(0)}, x)["params"]
+    ff = params["transformer"]["ff_0"]
+    assert set(ff) == {"norm", "fc1", "fc2"}
+    assert ff["norm"]["scale"].shape == (64,)
+    assert ff["fc1"]["kernel"].shape == (64, 128)
+    assert ff["fc2"]["bias"].shape == (64,)
+    out = m.apply({"params": params}, x)
+    assert out.shape == (2, 10) and bool(jnp.all(jnp.isfinite(out)))
