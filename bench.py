@@ -130,9 +130,12 @@ def main(argv=None) -> dict:
     p.add_argument("--platform", default=None)
     p.add_argument("--train", action="store_true",
                    help="measure training-step throughput instead")
-    p.add_argument("--quant", default=None, choices=[None, "int8"],
+    p.add_argument("--quant", default=None,
+                   choices=[None, "int8", "int8-static"],
                    help="opt-in post-training int8 serving path "
-                        "(sfc_vit_tpu.quant; inference only)")
+                        "(sfc_vit_tpu.quant; inference only). "
+                        "'int8-static' calibrates per-tensor activation "
+                        "scales on the bench input first")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -172,14 +175,26 @@ def main(argv=None) -> dict:
             )
 
         apply_fn = None
-        if args.quant == "int8":
+        if args.quant in ("int8", "int8-static"):
             from sfc_vit_tpu.quant import (
+                calibrate_activations,
+                discover_dense_paths,
                 quantize_dense_params,
                 quantized_apply,
                 strip_quantized_kernels,
             )
 
-            qtable = quantize_dense_params({"params": params})
+            act_scales = None
+            if args.quant == "int8-static":
+                act_scales = calibrate_activations(
+                    model, {"params": params}, [x]
+                )
+                paths = set(act_scales)
+            else:
+                paths = discover_dense_paths(model, {"params": params}, x)
+            qtable = quantize_dense_params(
+                {"params": params}, act_scales=act_scales, paths=paths
+            )
             stripped = strip_quantized_kernels({"params": params}, qtable)[
                 "params"
             ]

@@ -2,6 +2,8 @@
 the torch reference serves fp32/amp only, ``main.py:158-159``)."""
 
 from .int8 import (
+    calibrate_activations,
+    discover_dense_paths,
     dynamic_quantize,
     int8_dense,
     intercept_dense,
@@ -12,6 +14,8 @@ from .int8 import (
 )
 
 __all__ = [
+    "calibrate_activations",
+    "discover_dense_paths",
     "dynamic_quantize",
     "int8_dense",
     "intercept_dense",

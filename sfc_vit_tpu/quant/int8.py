@@ -43,6 +43,7 @@ __all__ = [
     "dynamic_quantize",
     "int8_dense",
     "quantize_dense_params",
+    "calibrate_activations",
     "intercept_dense",
     "quantized_apply",
 ]
@@ -84,21 +85,38 @@ def int8_dense(
     w_scale: jnp.ndarray,
     bias: Optional[jnp.ndarray],
     out_dtype: jnp.dtype,
+    x_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """``x @ W + b`` with the GEMM on the int8 MXU path.
 
     ``x``: [..., d_in] float; ``w_i8``: [d_in, d_out] int8; ``w_scale``:
-    [d_out] fp32.  The int32 accumulator is rescaled by the dynamic
-    activation scale times the static weight scale.
+    [d_out] fp32.  Two activation-quantization modes:
+
+    * dynamic (``x_scale=None``): per-token max-abs, computed in-graph.
+      Zero calibration, but the row reduce is an extra HBM pass over
+      the activations — measured a net LOSS at ViT-B batch 256
+      (RESULTS.md round 2).
+    * static (``x_scale`` = calibrated scalar): the quantize is pure
+      elementwise, so XLA fuses it into the producer's epilogue and the
+      activation streams to the GEMM as int8 — half the HBM traffic
+      AND the 2x int8 MXU rate.  This is the serving configuration;
+      get scales from :func:`calibrate_activations`.
     """
-    x_i8, x_scale = dynamic_quantize(x)
+    if x_scale is None:
+        x_i8, row_scale = dynamic_quantize(x)
+    else:
+        xf = x.astype(jnp.float32)
+        x_i8 = jnp.clip(
+            jnp.round(xf / x_scale), -127, 127
+        ).astype(jnp.int8)
+        row_scale = x_scale
     acc = jax.lax.dot_general(
         x_i8,
         w_i8,
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * x_scale * w_scale
+    y = acc.astype(jnp.float32) * row_scale * w_scale
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype)
@@ -117,6 +135,8 @@ def _walk(tree: Dict[str, Any], path: Tuple[str, ...], out: Dict):
 def quantize_dense_params(
     params: Dict[str, Any],
     skip: Tuple[str, ...] = (),
+    act_scales=None,
+    paths=None,
 ) -> Dict[Tuple[str, ...], Dict[str, jnp.ndarray]]:
     """Build the quantization side-table from a params tree.
 
@@ -139,13 +159,89 @@ def quantize_dense_params(
     for path, leaf in found.items():
         if any(s in path for s in skip):
             continue
+        if paths is not None and path not in paths:
+            # not an interceptor-reachable nn.Dense (e.g. fused-kernel
+            # params); see discover_dense_paths
+            continue
         w_i8, scale = quantize_weight(jnp.asarray(leaf["kernel"]))
         table[path] = {
             "w": w_i8,
             "scale": scale,
             "bias": jnp.asarray(leaf["bias"]) if "bias" in leaf else None,
         }
+        if act_scales and path in act_scales:
+            table[path]["x_scale"] = jnp.asarray(
+                act_scales[path], jnp.float32
+            )
     return table
+
+
+def discover_dense_paths(model: nn.Module, params, sample, **apply_kwargs):
+    """Set of module paths of ``nn.Dense`` layers that actually run.
+
+    Kernel-fused blocks (e.g. the fused MLP in
+    ``models/simple_vit.py::_FeedForward``) consume their params
+    directly — their kernels exist in the tree but no ``nn.Dense`` call
+    happens, so the int8 interceptor can never reach them.  Build
+    quantization tables restricted to these paths
+    (``quantize_dense_params(..., paths=...)``) so ``strip_quantized_
+    kernels`` only strips weights the serving path truly bypasses.
+    """
+    seen = set()
+
+    def observer(next_fun, args, kwargs, context):
+        if (
+            type(context.module) is nn.Dense
+            and context.method_name == "__call__"
+        ):
+            seen.add(context.module.path)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(observer):
+        model.apply(params, sample, **apply_kwargs)
+    return seen
+
+
+def calibrate_activations(
+    model: nn.Module,
+    params,
+    batches,
+    paths=None,
+    margin: float = 1.0,
+    **apply_kwargs,
+):
+    """Collect static per-tensor activation scales for int8 serving.
+
+    Runs ``model.apply(params, batch)`` for each batch with an
+    observing interceptor and records the max-abs input seen by every
+    ``nn.Dense`` (optionally restricted to ``paths``).  Returns
+    ``{module_path: scalar fp32 scale}`` with
+    ``scale = margin * max_abs / 127`` — merge into a quantization
+    table via ``quantize_dense_params(..., act_scales=...)`` or set
+    ``entry['x_scale']`` directly.
+
+    Max-abs calibration is the conservative choice (no clipping of
+    calibration data); pass ``margin < 1`` for percentile-style
+    clipping if outlier tokens dominate the range.
+    """
+    observed: Dict[Tuple[str, ...], float] = {}
+
+    def observer(next_fun, args, kwargs, context):
+        mod = context.module
+        if type(mod) is nn.Dense and context.method_name == "__call__":
+            if paths is None or mod.path in paths:
+                amax = float(jnp.max(jnp.abs(args[0])))
+                key = mod.path
+                observed[key] = max(observed.get(key, 0.0), amax)
+        return next_fun(*args, **kwargs)
+
+    for batch in batches:
+        with nn.intercept_methods(observer):
+            model.apply(params, batch, **apply_kwargs)
+    return {
+        k: jnp.float32(max(v, 1e-8) * margin / 127.0)
+        for k, v in observed.items()
+    }
 
 
 def intercept_dense(qtable, out_dtype=None):
@@ -168,7 +264,8 @@ def intercept_dense(qtable, out_dtype=None):
             x = args[0]
             dt = out_dtype or mod.dtype or x.dtype
             return int8_dense(
-                x, entry["w"], entry["scale"], entry["bias"], dt
+                x, entry["w"], entry["scale"], entry["bias"], dt,
+                x_scale=entry.get("x_scale"),
             )
         return next_fun(*args, **kwargs)
 

@@ -90,11 +90,17 @@ def test_quantized_model_close_and_jittable():
 
 
 def test_strip_quantized_kernels_unused():
+    from sfc_vit_tpu.quant import discover_dense_paths
+
     model = _tiny_vit()
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
     params = model.init({"params": jax.random.key(0)}, x[:1])
-    qtable = quantize_dense_params(params)
+    # only interceptor-reachable Denses may be stripped: the fused-MLP
+    # fc1/fc2 params are consumed directly by the kernel path
+    qtable = quantize_dense_params(
+        params, paths=discover_dense_paths(model, params, x)
+    )
     full = quantized_apply(model, params, qtable, x)
     stripped = strip_quantized_kernels(params, qtable)
     out = quantized_apply(model, stripped, qtable, x)
@@ -118,6 +124,43 @@ def test_bench_quick_quant_cpu():
 
     rec = bench.main([
         "--quick", "--platform", "cpu", "--quant", "int8",
+        "--iters", "2", "--batch-size", "8",
+    ])
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+
+
+def test_static_calibration_close():
+    model = _tiny_vit()
+    rng = np.random.default_rng(5)
+    calib = [jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+             for _ in range(2)]
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x[:1])
+    ref = model.apply(params, x)
+
+    from sfc_vit_tpu.quant import calibrate_activations
+
+    scales = calibrate_activations(model, params, calib)
+    assert scales and all(float(s) > 0 for s in scales.values())
+    qtable = quantize_dense_params(
+        params, act_scales=scales, paths=set(scales)
+    )
+    assert all("x_scale" in e for e in qtable.values())
+    out = quantized_apply(model, params, qtable, x)
+    cos = float(
+        jnp.sum(out * ref)
+        / (jnp.linalg.norm(out) * jnp.linalg.norm(ref))
+    )
+    # static scales clip tokens outside the calibration range; the
+    # eval batch is fresh, so the bound is a bit looser than dynamic
+    assert cos > 0.99, cos
+
+
+def test_bench_quick_quant_static_cpu():
+    import bench
+
+    rec = bench.main([
+        "--quick", "--platform", "cpu", "--quant", "int8-static",
         "--iters", "2", "--batch-size", "8",
     ])
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
