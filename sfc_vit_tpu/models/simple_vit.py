@@ -78,29 +78,70 @@ class _PreNormAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.fused_attention_block import (
+            fused_attention_block,
+            fused_attention_block_fits,
+        )
+
         inner = self.heads * self.dim_head
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
-                       name="to_qkv")(h)
-        b, n, _ = qkv.shape
+        ln_scale, ln_bias = _LNParams(self.dim, name="norm")()
+        w_qkv = _DenseParams(self.dim, inner * 3, use_bias=False,
+                             name="to_qkv")()
+        w_out = _DenseParams(inner, self.dim, use_bias=False,
+                             name="to_out")()
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        w_qkv, w_out = w_qkv.astype(dt), w_out.astype(dt)
+
+        def _ln(v):
+            import jax as _jax
+
+            vf = v.astype(jnp.float32)
+            mean = jnp.mean(vf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(vf * vf, axis=-1, keepdims=True) - mean * mean,
+                0.0,
+            )
+            vn = (vf - mean) * _jax.lax.rsqrt(var + 1e-5)
+            return (vn * ln_scale.astype(jnp.float32)
+                    + ln_bias.astype(jnp.float32)).astype(dt)
+
         if self.is_mutable_collection("intermediates"):
             from ..ops.attention import attention_with_weights
 
+            qkv = _ln(x) @ w_qkv
+            b, n, _ = qkv.shape
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(b, n, self.heads, self.dim_head)
             k = k.reshape(b, n, self.heads, self.dim_head)
             v = v.reshape(b, n, self.heads, self.dim_head)
             out, weights = attention_with_weights(q, k, v)
             self.sow("intermediates", "attention_weights", weights)
-            out = out.reshape(b, n, inner)
-        else:
-            # packed path: one relayout instead of split + 3 head
-            # transposes (17% of fwd device time, profile_forward.py)
-            out = packed_qkv_attention(
-                qkv, self.heads, implementation=self.attn_impl
+            return x + out.reshape(b, n, inner) @ w_out
+
+        import jax as _jax
+
+        b, n, d = x.shape
+        if (
+            self.attn_impl == "auto"
+            and _jax.default_backend() == "tpu"
+            and d % 128 == 0
+            and inner % 128 == 0
+            and fused_attention_block_fits(
+                n, d, inner, jnp.dtype(dt).itemsize
             )
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        name="to_out")(out)
+        ):
+            # whole attention block (LN + QKV + attention + out proj +
+            # residual) as one kernel; training uses the packed-VJP
+            # composition via the kernel's custom-VJP rule
+            return fused_attention_block(
+                x, ln_scale, ln_bias, w_qkv, w_out, self.heads
+            )
+        # unfused: identical composition, attention dispatched by impl
+        out = packed_qkv_attention(
+            _ln(x) @ w_qkv, self.heads, implementation=self.attn_impl
+        )
+        return x + out @ w_out
 
 
 class _LNParams(nn.Module):
@@ -123,16 +164,19 @@ class _DenseParams(nn.Module):
 
     in_dim: int
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
-        return (
-            self.param(
-                "kernel",
-                nn.initializers.lecun_normal(),
-                (self.in_dim, self.features),
-            ),
-            self.param("bias", nn.initializers.zeros, (self.features,)),
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_dim, self.features),
+        )
+        if not self.use_bias:
+            return kernel
+        return kernel, self.param(
+            "bias", nn.initializers.zeros, (self.features,)
         )
 
 
@@ -227,7 +271,7 @@ class PreNormTransformer(nn.Module):
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, attn_impl=self.attn_impl,
                 name=f"attn_{i}",
-            )(x) + x
+            )(x)  # residual added in-module (fused kernel path)
             # _FeedForward adds the residual in-kernel (one fused pass)
             x = ff_cls(
                 dim=self.dim, hidden_dim=self.mlp_dim, dtype=self.dtype,

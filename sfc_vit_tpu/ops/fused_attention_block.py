@@ -1,0 +1,292 @@
+"""Fused pre-norm attention block: one Pallas kernel for
+``x + W_out @ attn(LN(x) @ W_qkv)``.
+
+The companion of :mod:`~sfc_vit_tpu.ops.fused_mlp` — together they run
+a whole pre-norm encoder layer (``altvit.py:116-160`` semantics) in two
+kernels.  Compared to the packed-QKV attention kernel alone
+(flash_attention.py::packed_flash_attention), this also folds in the
+pre-LN, the QKV projection and the output projection, so:
+
+  * the QKV activation (3x model width) never touches HBM —
+    previously the projection GEMM wrote it and the attention kernel
+    read it back (2 x ~230 MB at ViT-B/256);
+  * the LN-stats reduce stops being a separate XLA pass over x;
+  * per layer, HBM traffic for the whole attention block drops to one
+    read + one write of x (+ weights, fetched once across the grid).
+
+Grid: over image groups (``block_b`` images per step).  Per step the
+``(block_b * n_pad, D)`` row tile is LayerNormed (fp32 stats) and
+multiplied by the resident W_qkv; attention then runs per image/head
+on static in-register lane slices (whole-sequence fp32 softmax — the
+packed-kernel design); finally the resident W_out projects back and
+the residual is added.  Short-sequence only (the whole padded
+sequence is one block): N <= ~1k, the regime of every reference model
+(196..1024 tokens).
+
+No biases: the pre-norm family's to_qkv/to_out are bias-free
+(``altvit.py:127,138``; models/simple_vit.py::_PreNormAttention).
+
+Backward: custom_vjp whose differentiated forward is the unfused XLA
+formula — training numerics/speed are exactly the unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kernel_utils import NEG_INF as _NEG_INF, round_up as _round_up
+
+__all__ = [
+    "fused_attention_block",
+    "attention_block_xla",
+    "attention_block_train",
+    "fused_attention_block_fits",
+]
+
+_VMEM_LIMIT = 100 * 2 ** 20
+
+
+def _attn_block_kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref, o_ref, qkv_s, att_s,
+    *, heads: int, dh: int, scale: float, eps: float,
+    n_pad: int, n_actual: int,
+):
+    bb = x_ref.shape[0]
+    d = x_ref.shape[2]
+    inner = heads * dh
+    x = x_ref[...].reshape(bb * n_pad, d)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean, 0.0
+    )
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
+        jnp.float32
+    )
+    xn = xn.astype(x.dtype)
+
+    qkv_s[...] = jax.lax.dot_general(
+        xn, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+    for bi in range(bb):
+        rows = slice(bi * n_pad, (bi + 1) * n_pad)
+        blk = qkv_s[rows, :]
+        for h in range(heads):
+            q = blk[:, h * dh : (h + 1) * dh]
+            k = blk[:, inner + h * dh : inner + (h + 1) * dh]
+            v = blk[:, 2 * inner + h * dh : 2 * inner + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_actual, s, _NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            out = jax.lax.dot_general(
+                (p / l).astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            att_s[rows, h * dh : (h + 1) * dh] = out.astype(att_s.dtype)
+
+    y = jax.lax.dot_general(
+        att_s[...], wout_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (y + xf).reshape(bb, n_pad, d).astype(o_ref.dtype)
+
+
+def fused_attention_block_fits(
+    n: int, d: int, inner: int, itemsize: int, block_b: int = 4
+) -> bool:
+    """VMEM gate: resident weights (double-buffer-conservative) + row
+    tiles + the QKV/attention scratch + one fp32 logits tile."""
+    n_pad = _round_up(n, 16)
+    if n > 1024:
+        return False  # whole-sequence softmax per image: short-N only
+    rows = block_b * n_pad
+    weights = 2 * (d * 3 * inner + inner * d) * itemsize
+    tiles = 4 * rows * d * itemsize
+    scratch = rows * 3 * inner * itemsize + rows * inner * itemsize
+    logits = 2 * n_pad * _round_up(n_pad, 128) * 4
+    ln_tmp = 2 * rows * d * 4
+    return weights + tiles + scratch + logits + ln_tmp <= 0.6 * _VMEM_LIMIT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "eps", "block_b", "interpret"),
+)
+def _fused_attn_block(
+    x, ln_scale, ln_bias, w_qkv, w_out,
+    heads: int, scale: float, eps: float,
+    block_b: int = 4, interpret: bool = False,
+):
+    b, n, d = x.shape
+    inner3 = w_qkv.shape[1]
+    inner = inner3 // 3
+    dh = inner // heads
+    n_pad = _round_up(n, 16)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    while b % block_b != 0:
+        block_b //= 2
+    rows = block_b * n_pad
+    row2 = lambda a: a.reshape(1, -1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, heads=heads, dh=dh, scale=scale,
+            eps=eps, n_pad=n_pad, n_actual=n,
+        ),
+        grid=(b // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, inner3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((inner, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, inner3), x.dtype),
+            pltpu.VMEM((rows, inner), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(
+                2 * b * n_pad * d * inner3          # qkv projection
+                + 4 * b * heads * n_pad * n_pad * dh  # attention
+                + 2 * b * n_pad * inner * d          # out projection
+            ),
+            bytes_accessed=(2 * b * n_pad * d + d * inner3 + inner * d)
+            * x.dtype.itemsize,
+            transcendentals=b * heads * n_pad * n_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(x, row2(ln_scale), row2(ln_bias), w_qkv, w_out)
+    return out[:, :n]
+
+
+def attention_block_xla(
+    x, ln_scale, ln_bias, w_qkv, w_out,
+    heads: int, scale: Optional[float] = None, eps: float = 1e-5,
+):
+    """Unfused reference formula (flax semantics: LN fp32 stats, packed
+    QKV layout math of ops.attention fp32 softmax); the differentiated
+    forward and the CPU fallback."""
+    b, n, d = x.shape
+    inner = w_qkv.shape[1] // 3
+    dh = inner // heads
+    s = dh ** -0.5 if scale is None else scale
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
+    )
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+    qkv = xn @ w_qkv
+    x5 = qkv.reshape(b, n, 3, heads, dh)
+    x5 = jnp.transpose(x5, (2, 0, 3, 1, 4))
+    q, k, v = x5[0], x5[1], x5[2]
+    logits = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ).astype(jnp.float32) * s
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    att = jnp.einsum("bhnm,bhmd->bhnd", w, v)
+    att = att.transpose(0, 2, 1, 3).reshape(b, n, inner)
+    return x + att @ w_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_attention_block(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole pre-norm attention block as ONE TPU kernel ([B,N,D] in/out).
+
+    Inference fast path (fp32 softmax, fp32 LN stats); under
+    differentiation the VJP rule is :func:`attention_block_xla`.  Call
+    sites gate on :func:`fused_attention_block_fits`.
+    """
+    inner = w_qkv.shape[1] // 3
+    dh = inner // heads
+    s = dh ** -0.5 if scale is None else scale
+    return _fused_attn_block(
+        x, ln_scale, ln_bias, w_qkv, w_out,
+        heads=heads, scale=s, eps=eps, interpret=interpret,
+    )
+
+
+def attention_block_train(
+    x, ln_scale, ln_bias, w_qkv, w_out,
+    heads: int, scale: Optional[float] = None, eps: float = 1e-5,
+):
+    """The unfused composition ROUTED THROUGH ``packed_qkv_attention``:
+    identical to what ``_PreNormAttention`` computed before this kernel
+    existed, so under differentiation the measured-fastest store-weights
+    VJP (flash_attention.py::_pfa_fwd) applies unchanged — training
+    numerics and speed are exactly the pre-kernel path.  Also the CPU
+    fallback (packed_qkv_attention degrades to the XLA formula there)."""
+    from .attention import packed_qkv_attention
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
+    )
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+    qkv = xn @ w_qkv
+    att = packed_qkv_attention(qkv, heads, scale=scale)
+    return x + att @ w_out
+
+
+def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
+             interpret):
+    out, vjp = jax.vjp(
+        lambda *a: attention_block_train(
+            *a, heads=heads, scale=scale, eps=eps
+        ),
+        x, ln_scale, ln_bias, w_qkv, w_out,
+    )
+    return out, vjp
+
+
+def _fab_bwd(heads, scale, eps, interpret, vjp, g):
+    return vjp(g)
+
+
+fused_attention_block.defvjp(_fab_fwd, _fab_bwd)

@@ -98,8 +98,11 @@ def _mlp_kernel(
         preferred_element_type=jnp.float32,
     )
     h = h + b1_ref[...].astype(jnp.float32)
-    h = h.astype(x.dtype)  # fc1 output rounds to dtype in the flax graph
-    h = _act(h.astype(jnp.float32), activation).astype(x.dtype)
+    # fc1 output stays fp32 through the activation (the unfused graph
+    # rounds it to bf16 first; skipping that round-trip is strictly
+    # tighter numerics and measured -0.4 ms/layer, /tmp decomposition
+    # table in RESULTS.md round 2)
+    h = _act(h, activation).astype(x.dtype)
 
     y = jax.lax.dot_general(
         h, w2_ref[...],

@@ -1,0 +1,115 @@
+"""Fused pre-norm attention-block kernel (ops/fused_attention_block.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu.ops.fused_attention_block import (
+    attention_block_train,
+    attention_block_xla,
+    fused_attention_block,
+    fused_attention_block_fits,
+)
+
+
+def _inputs(b=4, n=196, d=256, heads=4, dh=64, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    inner = heads * dh
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), dtype)
+    return (
+        mk(b, n, d), mk(d) * 0.1 + 1.0, mk(d) * 0.1,
+        mk(d, 3 * inner) / np.sqrt(d), mk(inner, d) / np.sqrt(inner),
+    ), heads
+
+
+def test_kernel_matches_xla_fp32():
+    args, heads = _inputs()
+    ref = attention_block_xla(*args, heads=heads)
+    out = fused_attention_block(*args, heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_kernel_matches_xla_bf16():
+    args, heads = _inputs(dtype=jnp.bfloat16)
+    ref = attention_block_xla(*args, heads=heads)
+    out = fused_attention_block(*args, heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=4e-2, atol=4e-2,
+    )
+
+
+def test_batch_not_multiple_of_block():
+    # block_b auto-halves until it divides the batch
+    args, heads = _inputs(b=3, n=100)
+    ref = attention_block_xla(*args, heads=heads)
+    out = fused_attention_block(*args, heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_grads_are_packed_vjp_composition():
+    args, heads = _inputs(b=2, n=64)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_attention_block(*a, heads, interpret=True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(attention_block_train(*a, heads=heads) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 3, 4))(*args)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 3, 4))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_fits_gate():
+    assert fused_attention_block_fits(196, 768, 768, 2)   # ViT-B bf16
+    assert not fused_attention_block_fits(4096, 768, 768, 2)  # long N
+
+
+def test_model_params_and_impls_agree():
+    """Param tree unchanged; every attn_impl still runs and the auto
+    (kernel-eligible-on-TPU, XLA here) path matches explicit 'xla'."""
+    from sfc_vit_tpu.models import SimpleViT
+
+    m = SimpleViT(image_size=32, patch_size=4, num_classes=10, dim=64,
+                  depth=1, heads=2, mlp_dim=128, dim_head=32)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 32, 32, 3)),
+        jnp.float32,
+    )
+    params = m.init({"params": jax.random.key(0)}, x)["params"]
+    attn = params["transformer"]["attn_0"]
+    assert set(attn) == {"norm", "to_qkv", "to_out"}
+    assert attn["to_qkv"]["kernel"].shape == (64, 3 * 64)
+    assert "bias" not in attn["to_qkv"]
+    ref = m.apply({"params": params}, x)
+    m_xla = SimpleViT(image_size=32, patch_size=4, num_classes=10, dim=64,
+                      depth=1, heads=2, mlp_dim=128, dim_head=32,
+                      attn_impl="xla")
+    out = m_xla.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_observability_capture_still_works():
+    from sfc_vit_tpu.models import SimpleViT
+
+    m = SimpleViT(image_size=32, patch_size=4, num_classes=10, dim=64,
+                  depth=1, heads=2, mlp_dim=128, dim_head=32)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = m.init({"params": jax.random.key(0)}, x)
+    out, inter = m.apply(params, x, mutable=["intermediates"])
+    w = inter["intermediates"]["transformer"]["attn_0"][
+        "attention_weights"
+    ][0]
+    assert w.shape == (1, 2, 64, 64)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-5)
