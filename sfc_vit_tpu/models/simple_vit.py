@@ -63,11 +63,42 @@ class CurvePatchEmbedding(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_out")(x)
 
 
+# Test hooks: force the fused-block gate on non-TPU backends (the
+# kernels then run in Pallas interpret mode) so the pad-once stack
+# layout is exercised by the hermetic CPU suite.
+_FORCE_FUSED = False
+
+
+def _fused_attn_gate(attn_impl: str, n: int, d: int, inner: int,
+                     dtype) -> bool:
+    """True when `_PreNormAttention` will take the fused-block kernel.
+
+    Shared between the attention module and `PreNormTransformer`'s
+    pad-once layout decision so the two can never disagree (a padded
+    stack routed to an unfused, unmasked path would attend to pad
+    keys)."""
+    import jax as _jax
+
+    from ..ops.fused_attention_block import fused_attention_block_fits
+
+    if attn_impl != "auto" or d % 128 or inner % 128:
+        return False
+    if not (_jax.default_backend() == "tpu" or _FORCE_FUSED):
+        return False
+    return fused_attention_block_fits(n, d, inner,
+                                      jnp.dtype(dtype).itemsize)
+
+
 class _PreNormAttention(nn.Module):
     """LN -> QKV (no bias) -> softmax attention -> out proj (no bias).
 
     Reference ``Attention`` (``altvit.py:116-142``); inner dim =
     heads * dim_head may exceed the model dim.
+
+    ``n_actual``: set by ``PreNormTransformer``'s pad-once layout —
+    ``x`` arrives padded to a sublane multiple and rows past
+    ``n_actual`` are padding (masked out of every softmax, passed
+    through as residual identity).
     """
 
     dim: int
@@ -75,12 +106,12 @@ class _PreNormAttention(nn.Module):
     dim_head: int = 64
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
+    n_actual: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..ops.fused_attention_block import (
             fused_attention_block,
-            fused_attention_block_fits,
         )
 
         inner = self.heads * self.dim_head
@@ -119,25 +150,27 @@ class _PreNormAttention(nn.Module):
             self.sow("intermediates", "attention_weights", weights)
             return x + out.reshape(b, n, inner) @ w_out
 
-        import jax as _jax
-
         b, n, d = x.shape
-        if (
-            self.attn_impl == "auto"
-            and _jax.default_backend() == "tpu"
-            and d % 128 == 0
-            and inner % 128 == 0
-            and fused_attention_block_fits(
-                n, d, inner, jnp.dtype(dt).itemsize
-            )
-        ):
+        if _fused_attn_gate(self.attn_impl, n, d, inner, dt):
             # whole attention block (LN + QKV + attention + out proj +
             # residual) as one kernel; training uses the packed-VJP
             # composition via the kernel's custom-VJP rule
             return fused_attention_block(
-                x, ln_scale, ln_bias, w_qkv, w_out, self.heads
+                x, ln_scale, ln_bias, w_qkv, w_out, self.heads,
+                interpret=_FORCE_FUSED, n_actual=self.n_actual,
             )
         # unfused: identical composition, attention dispatched by impl
+        if self.n_actual is not None and self.n_actual < n:
+            # pad-once layout but the fused gate didn't hold (e.g. an
+            # explicit impl override): compute on the real rows only
+            real = self.n_actual
+            out = packed_qkv_attention(
+                _ln(x[:, :real]) @ w_qkv, self.heads,
+                implementation=self.attn_impl,
+            )
+            return jnp.concatenate(
+                [x[:, :real] + out @ w_out, x[:, real:]], axis=1
+            )
         out = packed_qkv_attention(
             _ln(x) @ w_qkv, self.heads, implementation=self.attn_impl
         )
@@ -266,10 +299,35 @@ class PreNormTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         attn_cls = nn.remat(_PreNormAttention) if self.remat else _PreNormAttention
         ff_cls = nn.remat(_FeedForward) if self.remat else _FeedForward
+
+        # Pad-once sequence layout: when every layer takes the fused
+        # attention-block kernel, pad tokens to the kernel's sublane
+        # multiple ONCE for the whole stack instead of pad+slice inside
+        # each of `depth` kernel calls (the per-layer pad/slice/reshape
+        # churn measured ~9% of ViT-B device time, RESULTS.md round 2).
+        # Pad rows are masked out of every softmax and all other ops
+        # are row-local, so real rows are bit-identical either way.
+        from ..ops.kernel_utils import round_up as _round_up
+
+        n = x.shape[1]
+        n_pad = _round_up(n, 16)
+        inner = self.heads * self.dim_head
+        dt = self.dtype or x.dtype
+        pad_once = (
+            n_pad != n
+            and not self.pool_layers
+            and not self.merge_layers
+            and not self.is_mutable_collection("intermediates")
+            and _fused_attn_gate(self.attn_impl, n, self.dim, inner, dt)
+        )
+        if pad_once:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
         for i in range(self.depth):
             x = attn_cls(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, attn_impl=self.attn_impl,
+                n_actual=n if pad_once else None,
                 name=f"attn_{i}",
             )(x)  # residual added in-module (fused kernel path)
             # _FeedForward adds the residual in-kernel (one fused pass)
@@ -283,6 +341,8 @@ class PreNormTransformer(nn.Module):
                 from ..ops.token_merge import curve_pair_merge_topk
 
                 x = curve_pair_merge_topk(x, self.merge_ratio)
+        if pad_once:
+            x = x[:, :n]
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 

@@ -128,18 +128,22 @@ def fused_attention_block_fits(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "scale", "eps", "block_b", "interpret"),
+    static_argnames=(
+        "heads", "scale", "eps", "block_b", "interpret", "n_actual"
+    ),
 )
 def _fused_attn_block(
     x, ln_scale, ln_bias, w_qkv, w_out,
     heads: int, scale: float, eps: float,
     block_b: int = 4, interpret: bool = False,
+    n_actual: Optional[int] = None,
 ):
     b, n, d = x.shape
     inner3 = w_qkv.shape[1]
     inner = inner3 // 3
     dh = inner // heads
     n_pad = _round_up(n, 16)
+    real = n if n_actual is None else n_actual
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
     while b % block_b != 0:
@@ -150,7 +154,7 @@ def _fused_attn_block(
     out = pl.pallas_call(
         functools.partial(
             _attn_block_kernel, heads=heads, dh=dh, scale=scale,
-            eps=eps, n_pad=n_pad, n_actual=n,
+            eps=eps, n_pad=n_pad, n_actual=real,
         ),
         grid=(b // block_b,),
         in_specs=[
@@ -193,10 +197,23 @@ def _fused_attn_block(
 def attention_block_xla(
     x, ln_scale, ln_bias, w_qkv, w_out,
     heads: int, scale: Optional[float] = None, eps: float = 1e-5,
+    n_actual: Optional[int] = None,
 ):
     """Unfused reference formula (flax semantics: LN fp32 stats, packed
     QKV layout math of ops.attention fp32 softmax); the differentiated
-    forward and the CPU fallback."""
+    forward and the CPU fallback.
+
+    ``n_actual``: with the pad-once sequence layout (PreNormTransformer
+    pads tokens to a sublane multiple ONCE for the whole stack), rows
+    past ``n_actual`` are padding — the block passes them through
+    unchanged (residual identity) so they never contaminate real rows.
+    """
+    if n_actual is not None and n_actual < x.shape[1]:
+        out = attention_block_xla(
+            x[:, :n_actual], ln_scale, ln_bias, w_qkv, w_out,
+            heads, scale, eps,
+        )
+        return jnp.concatenate([out, x[:, n_actual:]], axis=1)
     b, n, d = x.shape
     inner = w_qkv.shape[1] // 3
     dh = inner // heads
@@ -222,7 +239,7 @@ def attention_block_xla(
     return x + att @ w_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_attention_block(
     x: jnp.ndarray,
     ln_scale: jnp.ndarray,
@@ -233,12 +250,16 @@ def fused_attention_block(
     scale: Optional[float] = None,
     eps: float = 1e-5,
     interpret: bool = False,
+    n_actual: Optional[int] = None,
 ) -> jnp.ndarray:
     """Whole pre-norm attention block as ONE TPU kernel ([B,N,D] in/out).
 
     Inference fast path (fp32 softmax, fp32 LN stats); under
-    differentiation the VJP rule is :func:`attention_block_xla`.  Call
-    sites gate on :func:`fused_attention_block_fits`.
+    differentiation the VJP rule is the unfused composition.  Call
+    sites gate on :func:`fused_attention_block_fits`.  ``n_actual``
+    marks rows past it as padding (pad-once sequence layout): padded
+    KEY columns are masked out of every softmax and pad rows pass
+    through as residual identity in the differentiated forward.
     """
     inner = w_qkv.shape[1] // 3
     dh = inner // heads
@@ -246,20 +267,34 @@ def fused_attention_block(
     return _fused_attn_block(
         x, ln_scale, ln_bias, w_qkv, w_out,
         heads=heads, scale=s, eps=eps, interpret=interpret,
+        n_actual=n_actual,
     )
 
 
 def attention_block_train(
     x, ln_scale, ln_bias, w_qkv, w_out,
     heads: int, scale: Optional[float] = None, eps: float = 1e-5,
+    n_actual: Optional[int] = None,
 ):
     """The unfused composition ROUTED THROUGH ``packed_qkv_attention``:
     identical to what ``_PreNormAttention`` computed before this kernel
     existed, so under differentiation the measured-fastest store-weights
     VJP (flash_attention.py::_pfa_fwd) applies unchanged — training
     numerics and speed are exactly the pre-kernel path.  Also the CPU
-    fallback (packed_qkv_attention degrades to the XLA formula there)."""
+    fallback (packed_qkv_attention degrades to the XLA formula there).
+
+    With ``n_actual`` (pad-once layout) the real rows are sliced out,
+    computed exactly as before, and the pad rows pass through — so
+    gradients and numerics for real rows are bit-identical to the
+    unpadded call, and pad-row cotangents flow straight through."""
     from .attention import packed_qkv_attention
+
+    if n_actual is not None and n_actual < x.shape[1]:
+        out = attention_block_train(
+            x[:, :n_actual], ln_scale, ln_bias, w_qkv, w_out,
+            heads, scale, eps,
+        )
+        return jnp.concatenate([out, x[:, n_actual:]], axis=1)
 
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -275,17 +310,17 @@ def attention_block_train(
 
 
 def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
-             interpret):
+             interpret, n_actual):
     out, vjp = jax.vjp(
         lambda *a: attention_block_train(
-            *a, heads=heads, scale=scale, eps=eps
+            *a, heads=heads, scale=scale, eps=eps, n_actual=n_actual
         ),
         x, ln_scale, ln_bias, w_qkv, w_out,
     )
     return out, vjp
 
 
-def _fab_bwd(heads, scale, eps, interpret, vjp, g):
+def _fab_bwd(heads, scale, eps, interpret, n_actual, vjp, g):
     return vjp(g)
 
 

@@ -100,6 +100,94 @@ def test_model_params_and_impls_agree():
     )
 
 
+def test_n_actual_masks_pad_keys():
+    """Kernel with n_actual on pre-padded input == unpadded reference
+    on the real rows (pad keys masked out of every softmax)."""
+    args, heads = _inputs(b=2, n=196)
+    x = args[0]
+    n_pad = 208
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - 196), (0, 0)))
+    # garbage in the pad rows must not leak into real rows
+    xp = xp.at[:, 196:].set(7.7)
+    ref = attention_block_xla(x, *args[1:], heads=heads)
+    out = fused_attention_block(
+        xp, *args[1:], heads, None, 1e-5, True, 196
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[:, :196]), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_n_actual_train_rule_passthrough_grads():
+    args, heads = _inputs(b=2, n=60)
+    x = args[0]
+    xp = jnp.pad(x, ((0, 0), (0, 4, ), (0, 0)))
+
+    def loss_padded(x, lns, lnb, wq, wo):
+        out = fused_attention_block(
+            jnp.pad(x, ((0, 0), (0, 4), (0, 0))), lns, lnb, wq, wo,
+            heads, None, 1e-5, True, 60,
+        )
+        return jnp.sum(out[:, :60] ** 2)
+
+    def loss_ref(x, lns, lnb, wq, wo):
+        return jnp.sum(
+            attention_block_train(x, lns, lnb, wq, wo, heads=heads) ** 2
+        )
+
+    g1 = jax.grad(loss_padded, argnums=(0, 1, 3, 4))(*args)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 3, 4))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+    # pad-row cotangents pass straight through: out[:, 60:] == x-pad rows
+    out = attention_block_train(xp, *args[1:], heads=heads, n_actual=60)
+    np.testing.assert_array_equal(
+        np.asarray(out[:, 60:]), np.asarray(xp[:, 60:])
+    )
+
+
+def test_pad_once_model_layout_parity(monkeypatch):
+    """PreNormTransformer's pad-once layout (forced on CPU, interpret
+    kernels) matches the unfused 'xla' path exactly: 25 tokens pad to
+    32 for the whole stack and are sliced before the final LN."""
+    from sfc_vit_tpu.models import SimpleViT
+    from sfc_vit_tpu.models import simple_vit as sv
+
+    kw = dict(image_size=20, patch_size=4, num_classes=7, dim=128,
+              depth=2, heads=2, mlp_dim=192, dim_head=64)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 20, 20, 3)),
+        jnp.float32,
+    )
+    m = SimpleViT(**kw)
+    params = m.init({"params": jax.random.key(0)}, x)["params"]
+    ref = SimpleViT(attn_impl="xla", **kw).apply({"params": params}, x)
+
+    monkeypatch.setattr(sv, "_FORCE_FUSED", True)
+    out = m.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    # grads through the pad-once stack == unfused grads
+    def loss(mod):
+        def f(p):
+            return jnp.sum(mod.apply({"params": p}, x) ** 2)
+        return f
+
+    g1 = jax.grad(loss(m))(params)
+    g2 = jax.grad(loss(SimpleViT(attn_impl="xla", **kw)))(params)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_observability_capture_still_works():
     from sfc_vit_tpu.models import SimpleViT
 
