@@ -179,3 +179,38 @@ def test_flash_cross_attention_on_chip():
     got = np.asarray(flash_attention(q, k, v), np.float32)
     want = np.asarray(dot_product_attention_xla(q, k, v), np.float32)
     assert np.abs(got - want).max() < 3e-2
+
+
+def test_fused_block_model_path_on_chip():
+    """The full fused-block + pad-once model path (what `auto` serves
+    at ViT-B shapes) compiles with Mosaic and matches the unfused
+    'xla' composition on the chip — 196 tokens pad to 208 once for
+    the whole stack, every softmax masks the pad keys."""
+    from sfc_vit_tpu.models import SimpleViT
+
+    kw = dict(image_size=56, patch_size=4, num_classes=11, dim=128,
+              depth=2, heads=2, mlp_dim=256, dim_head=64)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((8, 56, 56, 3)), jnp.float32)
+    m = SimpleViT(**kw)  # 14x14 grid = 196 tokens -> pad-once engages
+    params = m.init({"params": jax.random.key(0)}, x)["params"]
+    fused = np.asarray(m.apply({"params": params}, x), np.float32)
+    ref = np.asarray(
+        SimpleViT(attn_impl="xla", **kw).apply({"params": params}, x),
+        np.float32,
+    )
+    assert np.abs(fused - ref).max() < 2e-3, np.abs(fused - ref).max()
+
+    # bf16 (the bench configuration): argmax agreement + close logits
+    mb = SimpleViT(dtype="bfloat16", **kw)
+    fused_b = np.asarray(
+        mb.apply({"params": params}, x.astype(jnp.bfloat16)), np.float32
+    )
+    ref_b = np.asarray(
+        SimpleViT(dtype="bfloat16", attn_impl="xla", **kw).apply(
+            {"params": params}, x.astype(jnp.bfloat16)
+        ),
+        np.float32,
+    )
+    assert np.abs(fused_b - ref_b).max() < 0.1
+    assert (fused_b.argmax(-1) == ref_b.argmax(-1)).mean() > 0.9
