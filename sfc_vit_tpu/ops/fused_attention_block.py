@@ -82,6 +82,12 @@ def _attn_block_kernel(
         rows = slice(bi * n_pad, (bi + 1) * n_pad)
         blk = qkv_s[rows, :]
         for h in range(heads):
+            # NOTE (measured, do not "optimize"): folding `scale` into
+            # q and normalizing after the PV GEMM (divide on (n, dh)
+            # instead of (n, n)) LOOKS cheaper but schedules ~8% slower
+            # under Mosaic at ViT-B shapes (3.26 -> 3.50 ms A/B,
+            # /tmp/ab_attn round 2) — keep scale on the logits and the
+            # divide on the weights.
             q = blk[:, h * dh : (h + 1) * dh]
             k = blk[:, inner + h * dh : inner + (h + 1) * dh]
             v = blk[:, 2 * inner + h * dh : 2 * inner + (h + 1) * dh]
