@@ -164,3 +164,44 @@ def test_bench_quick_quant_static_cpu():
         "--iters", "2", "--batch-size", "8",
     ])
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+
+
+def test_quant_composes_with_fused_block_path(monkeypatch):
+    """With the fused-block kernels engaged (pad-once stack), encoder
+    to_qkv/fc1/... params never pass through nn.Dense — the
+    discover_dense_paths-restricted table must quantize only the
+    reachable layers (patch embed + head) and still serve correctly."""
+    from sfc_vit_tpu.models import SimpleViT
+    from sfc_vit_tpu.models import simple_vit as sv
+    from sfc_vit_tpu.quant import discover_dense_paths
+
+    kw = dict(image_size=20, patch_size=4, num_classes=5, dim=128,
+              depth=1, heads=2, mlp_dim=192, dim_head=64)
+    m = SimpleViT(**kw)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 20, 20, 3)),
+        jnp.float32,
+    )
+    params = m.init({"params": jax.random.key(0)}, x)
+
+    monkeypatch.setattr(sv, "_FORCE_FUSED", True)
+    paths = discover_dense_paths(m, params, x)
+    names = {p[-1] for p in paths}
+    # encoder internals are kernel-consumed, not Dense calls
+    assert "to_qkv" not in names and "fc1" not in names
+    assert "proj" in names and "linear_head" in names
+
+    table = quantize_dense_params(params, paths=paths)
+    assert set(table) == paths
+    ref = m.apply(params, x)
+    got = quantized_apply(m, params, table, x)
+    cos = float(
+        jnp.sum(ref * got)
+        / (jnp.linalg.norm(ref) * jnp.linalg.norm(got) + 1e-9)
+    )
+    assert cos > 0.99, cos
+    # stripping kernel-consumed weights would break the fused path;
+    # stripping the table's weights must NOT touch them
+    stripped = strip_quantized_kernels(params, table)
+    enc = stripped["params"]["transformer"]["attn_0"]["to_qkv"]["kernel"]
+    assert enc.shape == (128, 3 * 128)
