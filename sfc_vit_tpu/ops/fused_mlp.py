@@ -46,7 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_utils import round_up as _round_up
 
-__all__ = ["fused_mlp_block", "mlp_block_xla", "fused_mlp_fits"]
+__all__ = [
+    "fused_mlp_block", "mlp_block_xla", "fused_mlp_fits",
+    "fused_postnorm_tail", "postnorm_tail_xla",
+]
 
 
 def _erf(x):
@@ -255,3 +258,184 @@ def _fm_bwd(eps, activation, residual, interpret, vjp, g):
 
 
 fused_mlp_block.defvjp(_fm_fwd, _fm_bwd)
+
+
+# ---------------------------------------------------------------------
+# Post-norm layer tail (family A, torch nn.TransformerEncoderLayer
+# semantics, vit.py:197-203):
+#     x2 = LN1(x + attn_out)
+#     out = LN2(x2 + fc2(act(fc1(x2))))
+# Everything after the attention projection as ONE kernel — two
+# LayerNorms, both MLP GEMMs, both residuals; the hidden activation and
+# both residual sums never touch HBM.  The attention half stays with
+# ops.attention.packed_qkv_attention (its own kernel).
+# ---------------------------------------------------------------------
+
+
+def _postnorm_tail_kernel(
+    x_ref, a_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    ln2s_ref, ln2b_ref, o_ref, *, eps: float, activation: str,
+):
+    xf = x_ref[...].astype(jnp.float32)
+    af = a_ref[...].astype(jnp.float32)
+    s1 = xf + af
+    mean = jnp.mean(s1, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(s1 * s1, axis=1, keepdims=True) - mean * mean, 0.0
+    )
+    x2f = (s1 - mean) * jax.lax.rsqrt(var + eps)
+    x2f = x2f * ln1s_ref[...].astype(jnp.float32) + ln1b_ref[...].astype(
+        jnp.float32
+    )
+    x2 = x2f.astype(x_ref.dtype)  # round where nn.LayerNorm rounds
+
+    h = jax.lax.dot_general(
+        x2, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = _act(h, activation).astype(x_ref.dtype)
+
+    y = jax.lax.dot_general(
+        h, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s2 = y + b2_ref[...].astype(jnp.float32) + x2f
+    mean2 = jnp.mean(s2, axis=1, keepdims=True)
+    var2 = jnp.maximum(
+        jnp.mean(s2 * s2, axis=1, keepdims=True) - mean2 * mean2, 0.0
+    )
+    o = (s2 - mean2) * jax.lax.rsqrt(var2 + eps)
+    o = o * ln2s_ref[...].astype(jnp.float32) + ln2b_ref[...].astype(
+        jnp.float32
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "block_r", "interpret"),
+)
+def _postnorm_tail(
+    x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+    eps: float, activation: str,
+    block_r: int = 256, interpret: bool = False,
+):
+    b, n, d = x.shape
+    f = w1.shape[1]
+    r = b * n
+    xr = x.reshape(r, d)
+    ar = attn_out.reshape(r, d)
+    r_pad = _round_up(r, block_r)
+    if r_pad != r:
+        xr = jnp.pad(xr, ((0, r_pad - r), (0, 0)))
+        ar = jnp.pad(ar, ((0, r_pad - r), (0, 0)))
+    row2 = lambda a: a.reshape(1, -1)
+
+    rowspec = pl.BlockSpec((block_r, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    vec = lambda w: pl.BlockSpec((1, w), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _postnorm_tail_kernel, eps=eps, activation=activation,
+        ),
+        grid=(r_pad // block_r,),
+        in_specs=[
+            rowspec, rowspec, vec(d), vec(d),
+            pl.BlockSpec((d, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(f),
+            pl.BlockSpec((f, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(d), vec(d), vec(d),
+        ],
+        out_specs=rowspec,
+        out_shape=jax.ShapeDtypeStruct((r_pad, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * r_pad * d * f,
+            bytes_accessed=(3 * r_pad * d + 2 * d * f) * x.dtype.itemsize,
+            transcendentals=r_pad * f,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xr, ar, row2(ln1_s), row2(ln1_b), w1, row2(b1), w2, row2(b2),
+      row2(ln2_s), row2(ln2_b))
+    return out[:r].reshape(b, n, d)
+
+
+def postnorm_tail_xla(
+    x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+    eps: float = 1e-5, activation: str = "relu",
+):
+    """Unfused torch-parity formula (flax LayerNorm/Dense semantics);
+    the differentiated forward of the custom VJP and the CPU path."""
+
+    def _ln(v, s, bb):
+        vf = v.astype(jnp.float32)
+        mean = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(vf * vf, axis=-1, keepdims=True) - mean * mean, 0.0
+        )
+        vn = (vf - mean) * jax.lax.rsqrt(var + eps)
+        return (vn * s.astype(jnp.float32)
+                + bb.astype(jnp.float32)).astype(v.dtype)
+
+    x2 = _ln(x + attn_out, ln1_s, ln1_b)
+    h = (x2 @ w1 + b1.astype(x.dtype)).astype(x.dtype)
+    h = jax.nn.relu(h) if activation == "relu" else jax.nn.gelu(
+        h, approximate=False
+    )
+    y = (h @ w2 + b2.astype(x.dtype)).astype(x.dtype)
+    return _ln(x2 + y, ln2_s, ln2_b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def fused_postnorm_tail(
+    x: jnp.ndarray,
+    attn_out: jnp.ndarray,
+    ln1_s: jnp.ndarray,
+    ln1_b: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    ln2_s: jnp.ndarray,
+    ln2_b: jnp.ndarray,
+    eps: float = 1e-5,
+    activation: str = "relu",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``LN2(LN1(x+attn) + fc2(act(fc1(LN1(x+attn)))))`` as ONE kernel.
+
+    Inference fast path for the post-norm (family A) encoder layer;
+    under differentiation the VJP rule is :func:`postnorm_tail_xla`, so
+    training is bit-identical to the unfused graph.  Gate call sites on
+    :func:`fused_mlp_fits` (same residency shape).
+    """
+    return _postnorm_tail(
+        x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+        eps=eps, activation=activation, interpret=interpret,
+    )
+
+
+def _pt_fwd(x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+            eps, activation, interpret):
+    out, vjp = jax.vjp(
+        lambda *a: postnorm_tail_xla(
+            *a, eps=eps, activation=activation
+        ),
+        x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+    )
+    return out, vjp
+
+
+def _pt_bwd(eps, activation, interpret, vjp, g):
+    return vjp(g)
+
+
+fused_postnorm_tail.defvjp(_pt_fwd, _pt_bwd)

@@ -96,3 +96,104 @@ def test_param_tree_unchanged_and_model_runs():
     assert ff["fc2"]["bias"].shape == (64,)
     out = m.apply({"params": params}, x)
     assert out.shape == (2, 10) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def _tail_inputs(b=2, n=64, d=256, f=512, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), dtype)
+    return (
+        mk(b, n, d), mk(b, n, d),
+        mk(d) * 0.1 + 1.0, mk(d) * 0.1,
+        mk(d, f) / np.sqrt(d), mk(f) * 0.1,
+        mk(f, d) / np.sqrt(f), mk(d) * 0.1,
+        mk(d) * 0.1 + 1.0, mk(d) * 0.1,
+    )
+
+
+def test_postnorm_tail_matches_xla_fp32():
+    from sfc_vit_tpu.ops.fused_mlp import (
+        fused_postnorm_tail,
+        postnorm_tail_xla,
+    )
+
+    args = _tail_inputs()
+    ref = postnorm_tail_xla(*args)
+    out = fused_postnorm_tail(*args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_postnorm_tail_matches_xla_bf16():
+    from sfc_vit_tpu.ops.fused_mlp import (
+        fused_postnorm_tail,
+        postnorm_tail_xla,
+    )
+
+    args = _tail_inputs(dtype=jnp.bfloat16)
+    ref = postnorm_tail_xla(*args)
+    out = fused_postnorm_tail(*args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+def test_postnorm_tail_grads_are_unfused_formula():
+    from sfc_vit_tpu.ops.fused_mlp import (
+        fused_postnorm_tail,
+        postnorm_tail_xla,
+    )
+
+    args = _tail_inputs(n=32, d=128, f=256)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_postnorm_tail(*a, interpret=True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(postnorm_tail_xla(*a) ** 2)
+
+    argnums = tuple(range(10))
+    g1 = jax.grad(loss_fused, argnums=argnums)(*args)
+    g2 = jax.grad(loss_ref, argnums=argnums)(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_postnorm_layer_model_parity(monkeypatch):
+    """TorchTransformerEncoderLayer: forced fused tail (interpret) ==
+    the unfused formula, params stay nn-shaped, dropout path intact."""
+    from sfc_vit_tpu.models import simple_vit as sv
+    from sfc_vit_tpu.models.layers import TorchTransformerEncoderLayer
+
+    layer = TorchTransformerEncoderLayer(
+        dim=128, n_heads=2, hidden_dim=256, dropout_rate=0.1
+    )
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 48, 128)),
+        jnp.float32,
+    )
+    params = layer.init(
+        {"params": jax.random.key(0)}, x, True
+    )["params"]
+    assert set(params) == {
+        "self_attn", "norm1", "norm2", "linear1", "linear2"
+    }
+    assert params["linear1"]["kernel"].shape == (128, 256)
+    assert params["norm2"]["scale"].shape == (128,)
+
+    ref = layer.apply({"params": params}, x, True)
+    monkeypatch.setattr(sv, "_FORCE_FUSED", True)
+    out = layer.apply({"params": params}, x, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    # dropout (training) path: needs rng, stays unfused, still runs
+    out_d = layer.apply(
+        {"params": params}, x, False,
+        rngs={"dropout": jax.random.key(1)},
+    )
+    assert out_d.shape == x.shape and bool(jnp.all(jnp.isfinite(out_d)))
