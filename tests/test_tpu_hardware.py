@@ -214,3 +214,23 @@ def test_fused_block_model_path_on_chip():
     )
     assert np.abs(fused_b - ref_b).max() < 0.1
     assert (fused_b.argmax(-1) == ref_b.argmax(-1)).mean() > 0.9
+
+
+def test_postnorm_tail_kernel_on_chip():
+    """Family-A fused tail engages for wide-MLP configs (f >= 1024):
+    Mosaic-compiles and matches the stock flax composition."""
+    from sfc_vit_tpu.models.layers import TorchTransformerEncoderLayer
+
+    kw = dict(dim=256, n_heads=4, hidden_dim=1024, dropout_rate=0.0)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((4, 64, 256)), jnp.float32)
+    layer = TorchTransformerEncoderLayer(**kw)  # auto -> fused tail
+    params = layer.init({"params": jax.random.key(0)}, x, True)
+    fused = np.asarray(layer.apply(params, x, True), np.float32)
+    ref = np.asarray(
+        TorchTransformerEncoderLayer(attn_impl="xla", **kw).apply(
+            params, x, True
+        ),
+        np.float32,
+    )
+    assert np.abs(fused - ref).max() < 2e-3, np.abs(fused - ref).max()
