@@ -201,3 +201,22 @@ def test_observability_capture_still_works():
     ][0]
     assert w.shape == (1, 2, 64, 64)
     np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "b,n,d,heads,dh",
+    [
+        (1, 17, 128, 1, 128),   # tiny odd n, single head
+        (3, 50, 256, 4, 32),    # odd batch, dh < lane width
+        (2, 16, 128, 2, 64),    # n == sublane multiple exactly
+        (5, 129, 128, 2, 192),  # dh > 128 (family-A style), odd n
+    ],
+)
+def test_kernel_shape_fuzz(b, n, d, heads, dh):
+    """Odd shapes: padding, block_b auto-halving, non-standard dh."""
+    args, _ = _inputs(b=b, n=n, d=d, heads=heads, dh=dh, seed=b * n)
+    ref = attention_block_xla(*args, heads=heads)
+    out = fused_attention_block(*args, heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5
+    )

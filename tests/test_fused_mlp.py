@@ -197,3 +197,20 @@ def test_postnorm_layer_model_parity(monkeypatch):
         rngs={"dropout": jax.random.key(1)},
     )
     assert out_d.shape == x.shape and bool(jnp.all(jnp.isfinite(out_d)))
+
+
+def test_postnorm_tail_shape_fuzz():
+    from sfc_vit_tpu.ops.fused_mlp import (
+        fused_postnorm_tail,
+        postnorm_tail_xla,
+    )
+
+    for b, n, d, f in [(1, 13, 128, 256), (3, 50, 256, 128),
+                       (2, 300, 128, 512)]:
+        args = _tail_inputs(b=b, n=n, d=d, f=f, seed=b + n)
+        ref = postnorm_tail_xla(*args)
+        out = fused_postnorm_tail(*args, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5,
+            err_msg=f"shape {(b, n, d, f)}",
+        )
