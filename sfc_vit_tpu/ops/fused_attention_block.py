@@ -78,6 +78,14 @@ def _attn_block_kernel(
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
+    # loop-invariant: one iota for every (image, head) mask apply; the
+    # mask itself is statically skipped when the sequence is already
+    # sublane-aligned (n_actual == n_pad), e.g. the 1k-token family
+    masked = n_actual < n_pad
+    if masked:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, n_pad), 1
+        )
     for bi in range(bb):
         rows = slice(bi * n_pad, (bi + 1) * n_pad)
         blk = qkv_s[rows, :]
@@ -95,8 +103,8 @@ def _attn_block_kernel(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_actual, s, _NEG_INF)
+            if masked:
+                s = jnp.where(col < n_actual, s, _NEG_INF)
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=1, keepdims=True)
