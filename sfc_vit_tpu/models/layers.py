@@ -140,7 +140,7 @@ class TorchTransformerEncoderLayer(nn.Module):
     ) -> jnp.ndarray:
         import jax as _jax
 
-        from ..ops.fused_mlp import fused_mlp_fits, fused_postnorm_tail
+        from ..ops.fused_mlp import fused_postnorm_tail, postnorm_tail_fits
         from . import simple_vit as _sv
 
         attn = TorchMultiHeadAttention(
@@ -168,7 +168,7 @@ class TorchTransformerEncoderLayer(nn.Module):
             and f % 128 == 0
             and (f >= 1024 or _sv._FORCE_FUSED)
             and (_jax.default_backend() == "tpu" or _sv._FORCE_FUSED)
-            and fused_mlp_fits(d, f, jnp.dtype(dt).itemsize)
+            and postnorm_tail_fits(d, f, jnp.dtype(dt).itemsize)
         ):
             # Params via holders (identical tree to nn.LayerNorm /
             # nn.Dense, the family-B pattern) so the fused tail kernel

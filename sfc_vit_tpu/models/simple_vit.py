@@ -124,18 +124,10 @@ class _PreNormAttention(nn.Module):
         x = x.astype(dt)
         w_qkv, w_out = w_qkv.astype(dt), w_out.astype(dt)
 
-        def _ln(v):
-            import jax as _jax
+        from ..ops.kernel_utils import ln_fp32
 
-            vf = v.astype(jnp.float32)
-            mean = jnp.mean(vf, axis=-1, keepdims=True)
-            var = jnp.maximum(
-                jnp.mean(vf * vf, axis=-1, keepdims=True) - mean * mean,
-                0.0,
-            )
-            vn = (vf - mean) * _jax.lax.rsqrt(var + 1e-5)
-            return (vn * ln_scale.astype(jnp.float32)
-                    + ln_bias.astype(jnp.float32)).astype(dt)
+        def _ln(v):
+            return ln_fp32(v, ln_scale, ln_bias, 1e-5)
 
         if self.is_mutable_collection("intermediates"):
             from ..ops.attention import attention_with_weights
@@ -161,8 +153,11 @@ class _PreNormAttention(nn.Module):
             )
         # unfused: identical composition, attention dispatched by impl
         if self.n_actual is not None and self.n_actual < n:
-            # pad-once layout but the fused gate didn't hold (e.g. an
-            # explicit impl override): compute on the real rows only
+            # Defensive only: PreNormTransformer sets n_actual iff the
+            # SAME gate held (fits(n) == fits(n_pad) since round_up is
+            # idempotent), so this branch is unreachable today — it
+            # exists so a future asymmetric gate change degrades to a
+            # correct (masked) slow path instead of attending pad keys.
             real = self.n_actual
             out = packed_qkv_attention(
                 _ln(x[:, :real]) @ w_qkv, self.heads,

@@ -40,7 +40,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernel_utils import NEG_INF as _NEG_INF, round_up as _round_up
+from .kernel_utils import (
+    NEG_INF as _NEG_INF,
+    ln_fp32 as _ln_fp32,
+    round_up as _round_up,
+)
+
+
+def _validate_packed_shapes(d_in: int, qkv_width: int, heads: int):
+    """Same contract as ops.attention.packed_qkv_attention: reject
+    shapes where ``// 3`` / ``// heads`` would silently truncate lane
+    slices (wrong attention with no error)."""
+    if qkv_width % (3 * heads) != 0:
+        raise ValueError(
+            f"packed QKV feature dim {qkv_width} must be divisible by "
+            f"3*heads={3 * heads}"
+        )
 
 __all__ = [
     "fused_attention_block",
@@ -229,17 +244,11 @@ def attention_block_xla(
         )
         return jnp.concatenate([out, x[:, n_actual:]], axis=1)
     b, n, d = x.shape
+    _validate_packed_shapes(d, w_qkv.shape[1], heads)
     inner = w_qkv.shape[1] // 3
     dh = inner // heads
     s = dh ** -0.5 if scale is None else scale
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
-    )
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    xn = xn.astype(x.dtype)
+    xn = _ln_fp32(x, ln_scale, ln_bias, eps)
     qkv = xn @ w_qkv
     x5 = qkv.reshape(b, n, 3, heads, dh)
     x5 = jnp.transpose(x5, (2, 0, 3, 1, 4))
@@ -275,6 +284,7 @@ def fused_attention_block(
     KEY columns are masked out of every softmax and pad rows pass
     through as residual identity in the differentiated forward.
     """
+    _validate_packed_shapes(x.shape[-1], w_qkv.shape[1], heads)
     inner = w_qkv.shape[1] // 3
     dh = inner // heads
     s = dh ** -0.5 if scale is None else scale
@@ -310,14 +320,7 @@ def attention_block_train(
         )
         return jnp.concatenate([out, x[:, n_actual:]], axis=1)
 
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
-    )
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    xn = xn.astype(x.dtype)
+    xn = _ln_fp32(x, ln_scale, ln_bias, eps)
     qkv = xn @ w_qkv
     att = packed_qkv_attention(qkv, heads, scale=scale)
     return x + att @ w_out

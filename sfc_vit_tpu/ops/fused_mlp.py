@@ -19,9 +19,11 @@ Design (TPU-first):
     and keeps them resident across the row grid — HBM traffic is one
     read + one write of x (the hidden activation NEVER touches HBM,
     vs 2 reads + 2 writes of the 4x-wider hidden in the unfused graph).
-  * fp32 accumulation on the MXU for both GEMMs; intermediates round to
-    the input dtype at the same points the unfused flax graph does
-    (Dense outputs), keeping bf16 numerics aligned.
+  * fp32 accumulation on the MXU for both GEMMs.  The fc1 accumulator
+    stays fp32 THROUGH the activation (the unfused graph rounds it to
+    the input dtype first) — strictly tighter numerics and measured
+    -0.4 ms/layer (RESULTS.md round 2); the activation output and the
+    final sum round to the input dtype as usual.
 
 Backward: custom_vjp whose *differentiated* forward is the plain XLA
 formula (the same store-residuals configuration the packed-QKV
@@ -44,11 +46,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernel_utils import round_up as _round_up
+from .kernel_utils import ln_fp32 as _ln_fp32, round_up as _round_up
 
 __all__ = [
     "fused_mlp_block", "mlp_block_xla", "fused_mlp_fits",
-    "fused_postnorm_tail", "postnorm_tail_xla",
+    "fused_postnorm_tail", "postnorm_tail_xla", "postnorm_tail_fits",
 ]
 
 
@@ -198,14 +200,7 @@ def mlp_block_xla(
 ):
     """Unfused reference formula (flax Dense/LayerNorm semantics); the
     differentiated forward of the custom VJP and the CPU fallback."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
-    )
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    xn = xn.astype(x.dtype)
+    xn = _ln_fp32(x, ln_scale, ln_bias, eps)
     h = (xn @ w1 + b1.astype(x.dtype)).astype(x.dtype)
     if activation == "gelu":
         h = jax.nn.gelu(h, approximate=False)
@@ -374,24 +369,27 @@ def postnorm_tail_xla(
 ):
     """Unfused torch-parity formula (flax LayerNorm/Dense semantics);
     the differentiated forward of the custom VJP and the CPU path."""
-
-    def _ln(v, s, bb):
-        vf = v.astype(jnp.float32)
-        mean = jnp.mean(vf, axis=-1, keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(vf * vf, axis=-1, keepdims=True) - mean * mean, 0.0
-        )
-        vn = (vf - mean) * jax.lax.rsqrt(var + eps)
-        return (vn * s.astype(jnp.float32)
-                + bb.astype(jnp.float32)).astype(v.dtype)
-
-    x2 = _ln(x + attn_out, ln1_s, ln1_b)
+    x2 = _ln_fp32(x + attn_out, ln1_s, ln1_b, eps)
     h = (x2 @ w1 + b1.astype(x.dtype)).astype(x.dtype)
     h = jax.nn.relu(h) if activation == "relu" else jax.nn.gelu(
         h, approximate=False
     )
     y = (h @ w2 + b2.astype(x.dtype)).astype(x.dtype)
-    return _ln(x2 + y, ln2_s, ln2_b)
+    return _ln_fp32(x2 + y, ln2_s, ln2_b, eps)
+
+
+def postnorm_tail_fits(
+    d: int, f: int, itemsize: int, block_r: int = 256
+) -> bool:
+    """VMEM gate for :func:`fused_postnorm_tail` — unlike
+    :func:`fused_mlp_fits` it accounts for TWO streamed row inputs
+    (x and attn_out) and the extra fp32 row temporaries (s1, x2f, s2)
+    the two LayerNorms keep live."""
+    weights = 2 * (2 * d * f * itemsize)
+    tiles = 6 * block_r * d * itemsize  # x + attn_out + out, dbl-buf
+    hidden = block_r * f * 4 + block_r * f * itemsize
+    ln_tmp = 4 * block_r * d * 4  # s1/x2f + s2/o fp32 pairs
+    return weights + tiles + hidden + ln_tmp <= 0.6 * _VMEM_LIMIT
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
@@ -415,7 +413,8 @@ def fused_postnorm_tail(
     Inference fast path for the post-norm (family A) encoder layer;
     under differentiation the VJP rule is :func:`postnorm_tail_xla`, so
     training is bit-identical to the unfused graph.  Gate call sites on
-    :func:`fused_mlp_fits` (same residency shape).
+    :func:`postnorm_tail_fits` (two streamed inputs + extra fp32 LN
+    temporaries vs the plain MLP kernel).
     """
     return _postnorm_tail(
         x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,

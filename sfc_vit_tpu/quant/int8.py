@@ -149,7 +149,28 @@ def quantize_dense_params(
     Returns ``{module_path: {'w': int8 kernel, 'scale': [d_out] f32,
     'bias': original bias or None}}`` keyed by the flax module path
     tuple, as reported by ``module.path`` during apply.
+
+    .. warning:: With the fused-block kernels active (the TPU `auto`
+       default for both model families), encoder projection params
+       (``to_qkv``/``fc1``/...) are 2-D kernel leaves that NEVER pass
+       through ``nn.Dense`` — quantizing them is a silent no-op and
+       ``strip_quantized_kernels`` on such a table breaks the fused
+       serving path.  ALWAYS pass ``paths=discover_dense_paths(...)``
+       evaluated on the SAME backend you serve on (the fused gates are
+       backend-dependent, so CPU-discovered paths differ from TPU's).
+       ``paths=None`` emits a RuntimeWarning for this reason.
     """
+    if paths is None:
+        import warnings
+
+        warnings.warn(
+            "quantize_dense_params(paths=None) quantizes every 2-D "
+            "kernel leaf, including fused-kernel params nn.Dense never "
+            "reads; pass paths=discover_dense_paths(model, params, x) "
+            "evaluated on the serving backend (see docstring).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     tree = unfreeze(params)
     if "params" in tree and isinstance(tree["params"], dict):
         tree = tree["params"]
