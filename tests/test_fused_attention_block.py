@@ -220,3 +220,22 @@ def test_kernel_shape_fuzz(b, n, d, heads, dh):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5
     )
+
+
+def test_invalid_packed_shapes_raise():
+    """Same contract as packed_qkv_attention: silent head truncation
+    is rejected at every entry point (kernel + XLA reference)."""
+    x = jnp.zeros((1, 8, 128), jnp.float32)
+    bad_wq = jnp.zeros((128, 770), jnp.float32)  # not divisible by 12
+    wo = jnp.zeros((256, 128), jnp.float32)
+    for fn in (
+        lambda: fused_attention_block(
+            x, jnp.ones(128), jnp.zeros(128), bad_wq, wo, 4,
+            interpret=True,
+        ),
+        lambda: attention_block_xla(
+            x, jnp.ones(128), jnp.zeros(128), bad_wq, wo, heads=4
+        ),
+    ):
+        with pytest.raises(ValueError, match="divisible"):
+            fn()
