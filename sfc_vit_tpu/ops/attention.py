@@ -29,6 +29,17 @@ takes the packed QKV projection as-is — the kernel consumes the
 projection GEMM's output block with zero layout changes, and even the
 XLA fallback avoids the split/head-reshape relayouts (17% of ViT-B fwd
 device time, scripts/profile_forward.py).
+
+One level above this dispatch, the pre-norm model family folds the
+WHOLE attention block (LN + QKV proj + attention + out proj +
+residual) into one kernel under ``auto`` on TPU
+(``ops/fused_attention_block.py``, with the stack's token axis padded
+once — models/simple_vit.py::PreNormTransformer) and family A folds
+everything after the attention into ``ops/fused_mlp.py::
+fused_postnorm_tail``; this module remains the training path (the
+fused kernels' custom-VJP forwards route back through
+``packed_qkv_attention``) and the path for every explicit
+``implementation=`` override.
 """
 
 from __future__ import annotations
