@@ -239,3 +239,28 @@ def test_invalid_packed_shapes_raise():
     ):
         with pytest.raises(ValueError, match="divisible"):
             fn()
+
+
+def test_remat_pad_once_fused_grads(monkeypatch):
+    """remat (jax.checkpoint) x pad-once x fused custom-VJP kernels:
+    gradients match the non-remat stack exactly."""
+    from sfc_vit_tpu.models import simple_vit as sv
+    from sfc_vit_tpu.models.simple_vit import PreNormTransformer
+
+    monkeypatch.setattr(sv, "_FORCE_FUSED", True)
+    kw = dict(dim=128, depth=2, heads=2, dim_head=64, mlp_dim=192)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 25, 128)),
+        jnp.float32,
+    )
+    t = PreNormTransformer(remat=True, **kw)
+    p = t.init({"params": jax.random.key(0)}, x)["params"]
+    g1 = jax.grad(lambda p: jnp.sum(t.apply({"params": p}, x) ** 2))(p)
+    t2 = PreNormTransformer(remat=False, **kw)
+    g2 = jax.grad(lambda p: jnp.sum(t2.apply({"params": p}, x) ** 2))(p)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
