@@ -241,7 +241,7 @@ class _FeedForward(nn.Module):
 
         d, f = self.dim, self.hidden_dim
         if (
-            _jax.default_backend() == "tpu"
+            (_jax.default_backend() == "tpu" or _FORCE_FUSED)
             and d % 128 == 0
             and f % 128 == 0
             and fused_mlp_fits(d, f, jnp.dtype(dt).itemsize)
@@ -249,6 +249,7 @@ class _FeedForward(nn.Module):
             return fused_mlp_block(
                 x, ln_scale, ln_bias, w1, b1, w2, b2,
                 eps=1e-5, activation="gelu", residual=True,
+                interpret=_FORCE_FUSED,
             )
         return mlp_block_xla(
             x, ln_scale, ln_bias, w1, b1, w2, b2,

@@ -95,7 +95,14 @@ def _attn_block_kernel(
 
     # loop-invariant: one iota for every (image, head) mask apply; the
     # mask itself is statically skipped when the sequence is already
-    # sublane-aligned (n_actual == n_pad), e.g. the 1k-token family
+    # sublane-aligned (n_actual == n_pad), e.g. the 1k-token family.
+    # NOTE pad-ROW values are don't-care: only pad KEY columns are
+    # masked, so rows >= n_actual compute real attention over real keys
+    # plus their residual — which DIFFERS from the differentiated
+    # forward (attention_block_train passes pad rows through as
+    # identity).  That is fine because pad rows never contaminate real
+    # rows (key masking) and are sliced off by PreNormTransformer's
+    # pad-once layout; do not consume pad-row values downstream.
     masked = n_actual < n_pad
     if masked:
         col = jax.lax.broadcasted_iota(

@@ -137,40 +137,55 @@ def quantize_dense_params(
     skip: Tuple[str, ...] = (),
     act_scales=None,
     paths=None,
+    *,
+    model: Optional[nn.Module] = None,
+    sample=None,
+    **apply_kwargs,
 ) -> Dict[Tuple[str, ...], Dict[str, jnp.ndarray]]:
     """Build the quantization side-table from a params tree.
 
     Walks ``params['params']`` (or ``params`` directly) and quantizes
-    every 2-D ``kernel`` leaf (= every ``nn.Dense``; Convs have 3-D+
-    kernels and are skipped).  ``skip`` drops any module whose path
-    contains one of the given names (e.g. ``('out',)`` to keep the
-    classifier head in bf16).
+    2-D ``kernel`` leaves (= ``nn.Dense``; Convs have 3-D+ kernels and
+    are skipped).  ``skip`` drops any module whose path contains one of
+    the given names (e.g. ``('out',)`` to keep the classifier head in
+    bf16).
+
+    Which leaves, exactly, is governed by ``paths``:
+
+    * ``paths=<set of module paths>`` — quantize only those (the output
+      of :func:`discover_dense_paths`, evaluated on the SAME backend
+      you serve on: the fused-kernel gates are backend-dependent, so
+      CPU-discovered paths differ from TPU's).
+    * ``paths=None`` with ``model=`` (+ ``sample=``) — auto-discovers
+      via :func:`discover_dense_paths` on the current backend.
+    * ``paths="all"`` — every 2-D kernel leaf.  ONLY safe when no fused
+      block kernel is active: with the fused kernels (the TPU ``auto``
+      default for both model families), encoder projections
+      (``to_qkv``/``fc1``/...) are 2-D kernel leaves that never pass
+      through ``nn.Dense`` — quantizing them is a silent no-op, and
+      ``strip_quantized_kernels`` on such a table would hand the fused
+      serving path zeroed placeholder weights.
+
+    ``paths=None`` without a model raises (the warn-and-proceed
+    combination was exactly the broken case above).
 
     Returns ``{module_path: {'w': int8 kernel, 'scale': [d_out] f32,
     'bias': original bias or None}}`` keyed by the flax module path
     tuple, as reported by ``module.path`` during apply.
-
-    .. warning:: With the fused-block kernels active (the TPU `auto`
-       default for both model families), encoder projection params
-       (``to_qkv``/``fc1``/...) are 2-D kernel leaves that NEVER pass
-       through ``nn.Dense`` — quantizing them is a silent no-op and
-       ``strip_quantized_kernels`` on such a table breaks the fused
-       serving path.  ALWAYS pass ``paths=discover_dense_paths(...)``
-       evaluated on the SAME backend you serve on (the fused gates are
-       backend-dependent, so CPU-discovered paths differ from TPU's).
-       ``paths=None`` emits a RuntimeWarning for this reason.
     """
     if paths is None:
-        import warnings
-
-        warnings.warn(
-            "quantize_dense_params(paths=None) quantizes every 2-D "
-            "kernel leaf, including fused-kernel params nn.Dense never "
-            "reads; pass paths=discover_dense_paths(model, params, x) "
-            "evaluated on the serving backend (see docstring).",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        if model is None or sample is None:
+            raise ValueError(
+                "quantize_dense_params needs to know which kernels the "
+                "serving path actually reads through nn.Dense: pass "
+                "paths=discover_dense_paths(model, params, x) evaluated "
+                "on the serving backend, or model=/sample= to "
+                "auto-discover here, or paths='all' to (unsafely) "
+                "quantize every 2-D kernel leaf (see docstring)."
+            )
+        paths = discover_dense_paths(model, params, sample, **apply_kwargs)
+    if paths == "all":
+        paths = None  # enumerate everything (explicitly requested)
     tree = unfreeze(params)
     if "params" in tree and isinstance(tree["params"], dict):
         tree = tree["params"]
@@ -244,21 +259,36 @@ def calibrate_activations(
     Max-abs calibration is the conservative choice (no clipping of
     calibration data); pass ``margin < 1`` for percentile-style
     clipping if outlier tokens dominate the range.
+
+    Calibration runs ``model.apply`` eagerly (do not wrap this function
+    in ``jit``).  The interceptor only *records* the traced per-Dense
+    amax values; they are concretized with ONE host readback per batch
+    after the apply returns — not one blocking sync per Dense, which on
+    a remote backend would dominate calibration time.
     """
     observed: Dict[Tuple[str, ...], float] = {}
 
-    def observer(next_fun, args, kwargs, context):
-        mod = context.module
-        if type(mod) is nn.Dense and context.method_name == "__call__":
-            if paths is None or mod.path in paths:
-                amax = float(jnp.max(jnp.abs(args[0])))
-                key = mod.path
-                observed[key] = max(observed.get(key, 0.0), amax)
-        return next_fun(*args, **kwargs)
-
     for batch in batches:
+        pending: Dict[Tuple[str, ...], list] = {}
+
+        def observer(next_fun, args, kwargs, context):
+            mod = context.module
+            if type(mod) is nn.Dense and context.method_name == "__call__":
+                if paths is None or mod.path in paths:
+                    pending.setdefault(mod.path, []).append(
+                        jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                    )
+            return next_fun(*args, **kwargs)
+
         with nn.intercept_methods(observer):
             model.apply(params, batch, **apply_kwargs)
+        if pending:
+            keys = list(pending)
+            stacked = jax.device_get(
+                jnp.stack([jnp.max(jnp.stack(pending[k])) for k in keys])
+            )
+            for k, amax in zip(keys, stacked):
+                observed[k] = max(observed.get(k, 0.0), float(amax))
     return {
         k: jnp.float32(max(v, 1e-8) * margin / 127.0)
         for k, v in observed.items()

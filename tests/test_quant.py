@@ -70,7 +70,8 @@ def test_quantized_model_close_and_jittable():
     x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
     params = model.init({"params": jax.random.key(0)}, x[:1])
     ref = model.apply(params, x)
-    qtable = quantize_dense_params(params)
+    # paths=None + model/sample auto-discovers reachable Denses
+    qtable = quantize_dense_params(params, model=model, sample=x)
     assert qtable, "no Dense kernels found to quantize"
 
     # side-table must travel as a jit ARGUMENT (never a closure constant
@@ -111,12 +112,18 @@ def test_skip_keeps_module_fp():
     model = _tiny_vit()
     x = jnp.zeros((1, 32, 32, 3), jnp.float32)
     params = model.init({"params": jax.random.key(0)}, x)
-    all_paths = set(quantize_dense_params(params))
+    all_paths = set(quantize_dense_params(params, paths="all"))
     head_paths = {p for p in all_paths if "linear_head" in p}
     assert head_paths, sorted(all_paths)
-    kept = set(quantize_dense_params(params, skip=("linear_head",)))
+    kept = set(
+        quantize_dense_params(params, skip=("linear_head",), paths="all")
+    )
     assert kept == all_paths - head_paths
     assert kept != all_paths
+    # paths=None without a model is the broken warn-and-proceed combo
+    # the round-2 advisor flagged — it must raise now
+    with pytest.raises(ValueError):
+        quantize_dense_params(params)
 
 
 def test_bench_quick_quant_cpu():
