@@ -68,6 +68,13 @@ class CurvePatchEmbedding(nn.Module):
 # layout is exercised by the hermetic CPU suite.
 _FORCE_FUSED = False
 
+# Training-rule selector for the fused kernels' custom VJPs:
+# 'auto' (Pallas backward kernels on TPU / under interpret, XLA rule
+# elsewhere), 'pallas', or 'xla' (the round-2 store-residuals rule).
+# TRACING-TIME switch (CLAUDE.md): jit caches by function identity —
+# re-jit / use distinct step fns when toggling, as the A/B scripts do.
+_TRAIN_IMPL = "auto"
+
 
 def _fused_attn_gate(attn_impl: str, n: int, d: int, inner: int,
                      dtype) -> bool:
@@ -249,7 +256,7 @@ class _FeedForward(nn.Module):
             return fused_mlp_block(
                 x, ln_scale, ln_bias, w1, b1, w2, b2,
                 eps=1e-5, activation="gelu", residual=True,
-                interpret=_FORCE_FUSED,
+                interpret=_FORCE_FUSED, train_impl=_TRAIN_IMPL,
             )
         return mlp_block_xla(
             x, ln_scale, ln_bias, w1, b1, w2, b2,

@@ -25,11 +25,20 @@ Design (TPU-first):
     -0.4 ms/layer (RESULTS.md round 2); the activation output and the
     final sum round to the input dtype as usual.
 
-Backward: custom_vjp whose *differentiated* forward is the plain XLA
-formula (the same store-residuals configuration the packed-QKV
-attention kernel uses, flash_attention.py::_pfa_fwd) — training
-numerics and speed are exactly the unfused path; the kernel is the
-inference fast path.
+Backward (round 3): a second Pallas kernel.  The round-2 custom_vjp
+fell back to the unfused XLA formula under differentiation, which
+stores the [R, F] hidden activations as residuals — at ViT-B batch 256
+that is ~2 HBM round-trips of a 4x-wider tensor per layer, and the
+train step measured 933 img/s with *inverted* batch scaling
+(bs64 > bs256; VERDICT round 2 item 1).  The Pallas backward saves
+ONLY the block input x, recomputes LN/fc1/act per row tile in VMEM
+(one extra GEMM: 5 bwd GEMMs vs the minimal 4), and accumulates
+dW1/dW2/db/dLN in fp32 VMEM across the row grid — HBM traffic is one
+read of x + one read of g + one write of dx, with no [R, F] tensor
+ever materialized.  The differentiated forward is the forward kernel
+itself, so training runs the same fast path as inference.
+``train_impl='xla'`` (or non-TPU backends without ``interpret``)
+restores the round-2 store-residuals XLA rule.
 
 Reference scope: the reference's MLP is torch ``Linear->GELU->Linear``
 inside pre-norm blocks (``altvit.py:102-113``); this kernel implements
@@ -50,6 +59,7 @@ from .kernel_utils import ln_fp32 as _ln_fp32, round_up as _round_up
 
 __all__ = [
     "fused_mlp_block", "mlp_block_xla", "fused_mlp_fits",
+    "fused_mlp_bwd_fits",
     "fused_postnorm_tail", "postnorm_tail_xla", "postnorm_tail_fits",
 ]
 
@@ -75,6 +85,19 @@ def _act(h, activation: str):
         return h * 0.5 * (1.0 + _erf(h * (2.0 ** -0.5)))
     if activation == "relu":
         return jnp.maximum(h, 0.0)
+    raise ValueError(f"unsupported activation {activation!r}")
+
+
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _dact(z, activation: str):
+    """act'(z) in fp32; gelu' = Phi(z) + z*phi(z) (exact-erf gelu)."""
+    if activation == "gelu":
+        phi = jnp.exp(z * z * -0.5) * _INV_SQRT_2PI
+        return 0.5 * (1.0 + _erf(z * (2.0 ** -0.5))) + z * phi
+    if activation == "relu":
+        return (z > 0.0).astype(z.dtype)
     raise ValueError(f"unsupported activation {activation!r}")
 
 
@@ -194,6 +217,172 @@ def _fused_mlp(
     return out[:r].reshape(b, n, d)
 
 
+def _mlp_bwd_kernel(
+    x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+    dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref, dls_ref, dlb_ref,
+    *, eps: float, activation: str, residual: bool,
+):
+    """One row-tile of the fused-MLP backward.
+
+    Recomputes LN/fc1/act from the saved block input x (the hidden
+    activation never existed in HBM), then produces dx for this tile
+    and accumulates the parameter grads in fp32 VMEM across the row
+    grid (constant-index output blocks, written back once at the end).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros(dw1_ref.shape, dw1_ref.dtype)
+        dw2_ref[...] = jnp.zeros(dw2_ref.shape, dw2_ref.dtype)
+        db1_ref[...] = jnp.zeros(db1_ref.shape, db1_ref.dtype)
+        db2_ref[...] = jnp.zeros(db2_ref.shape, db2_ref.dtype)
+        dls_ref[...] = jnp.zeros(dls_ref.shape, dls_ref.dtype)
+        dlb_ref[...] = jnp.zeros(dlb_ref.shape, dlb_ref.dtype)
+
+    x = x_ref[...]  # (BR, D)
+    g = g_ref[...]
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    # --- recompute the forward (same numerics as _mlp_kernel) ---
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean, 0.0
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv  # pre-scale normalized rows, fp32
+    lns = lns_ref[...].astype(jnp.float32)
+    xn = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(x.dtype)
+
+    z = jax.lax.dot_general(
+        xn, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)  # fp32, kept through act'
+    h = _act(z, activation).astype(x.dtype)
+
+    # --- backward ---
+    db2_ref[...] += jnp.sum(gf, axis=0, keepdims=True)
+    dw2_ref[...] += jax.lax.dot_general(
+        h, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (F, D)
+    dh = jax.lax.dot_general(
+        g, w2_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BR, F)
+    dz = dh * _dact(z, activation)
+    db1_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+    dzc = dz.astype(x.dtype)  # round where XLA's bwd GEMM operands round
+    dw1_ref[...] += jax.lax.dot_general(
+        xn, dzc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, F)
+    dxn = jax.lax.dot_general(
+        dzc, w1_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BR, D)
+    dls_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlb_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxh = dxn * lns
+    m1 = jnp.mean(dxh, axis=1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=1, keepdims=True)
+    dxf = inv * (dxh - m1 - xhat * m2)
+    if residual:
+        dxf = dxf + gf
+    dx_ref[...] = dxf.astype(dx_ref.dtype)
+
+
+def fused_mlp_bwd_fits(
+    d: int, f: int, itemsize: int, block_r: int = 256
+) -> bool:
+    """VMEM gate for the backward kernel: resident bf16 weights + fp32
+    dW accumulators + streamed x/g/dx tiles + the fp32 [BR, F] hidden
+    temporaries (z, dh, dz live simultaneously)."""
+    weights = 2 * d * f * itemsize          # w1 + w2 (const blocks)
+    accums = 2 * d * f * 4 + 2 * f * 4 + 4 * d * 4
+    tiles = 6 * block_r * d * itemsize      # x + g + dx, double-buffered
+    hidden = 3 * block_r * f * 4 + 2 * block_r * f * itemsize
+    row_tmp = 6 * block_r * d * 4           # xhat/xn/dxn/dxh/dxf fp32-ish
+    return weights + accums + tiles + hidden + row_tmp <= 0.6 * _VMEM_LIMIT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "residual", "block_r",
+                     "interpret"),
+)
+def _fused_mlp_bwd(
+    x, g, ln_scale, ln_bias, w1, b1, w2,
+    eps: float, activation: str, residual: bool,
+    block_r: int = 256, interpret: bool = False,
+):
+    b, n, d = x.shape
+    f = w1.shape[1]
+    r = b * n
+    xr = x.reshape(r, d)
+    gr = g.reshape(r, d)
+    r_pad = _round_up(r, block_r)
+    if r_pad != r:
+        # zero g pad rows => zero contribution to every param grad
+        xr = jnp.pad(xr, ((0, r_pad - r), (0, 0)))
+        gr = jnp.pad(gr, ((0, r_pad - r), (0, 0)))
+    row2 = lambda a: a.reshape(1, -1)
+
+    rowspec = pl.BlockSpec((block_r, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    dx, dw1, dw2, db1, db2, dls, dlb = pl.pallas_call(
+        functools.partial(
+            _mlp_bwd_kernel, eps=eps, activation=activation,
+            residual=residual,
+        ),
+        grid=(r_pad // block_r,),
+        in_specs=[
+            rowspec, rowspec,
+            const(1, d), const(1, d),
+            const(d, f), const(1, f), const(f, d),
+        ],
+        out_specs=(
+            rowspec,
+            const(d, f), const(f, d),
+            const(1, f), const(1, d), const(1, d), const(1, d),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((d, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * r_pad * d * f,  # 5 GEMMs (4 bwd + 1 recompute)
+            bytes_accessed=(3 * r_pad * d + 2 * d * f) * x.dtype.itemsize
+            + 2 * d * f * 4,
+            transcendentals=2 * r_pad * f,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xr, gr, row2(ln_scale), row2(ln_bias), w1, row2(b1), w2)
+
+    cast = lambda a, like: a.reshape(like.shape).astype(like.dtype)
+    return (
+        dx[:r].reshape(b, n, d),
+        cast(dls, ln_scale), cast(dlb, ln_bias),
+        cast(dw1, w1), cast(db1, b1),
+        cast(dw2, w2), cast(db2, w2[0]),
+    )
+
+
 def mlp_block_xla(
     x, ln_scale, ln_bias, w1, b1, w2, b2,
     eps: float = 1e-5, activation: str = "gelu", residual: bool = True,
@@ -210,7 +399,27 @@ def mlp_block_xla(
     return x + y if residual else y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _mlp_train_pallas(train_impl: str, d: int, f: int, itemsize: int,
+                      interpret: bool) -> bool:
+    """Trace-time choice of training rule.
+
+    'pallas' forces the kernel pair; 'xla' forces the round-2
+    store-residuals XLA rule; 'auto' takes the kernels on TPU (or in
+    interpret mode, so the hermetic CPU suite exercises them) when the
+    backward fits VMEM and the feature dims are lane-aligned."""
+    if train_impl == "pallas":
+        return True
+    if train_impl != "auto":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    return (
+        (on_tpu or interpret)
+        and d % 128 == 0 and f % 128 == 0
+        and fused_mlp_bwd_fits(d, f, itemsize)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_mlp_block(
     x: jnp.ndarray,
     ln_scale: jnp.ndarray,
@@ -223,12 +432,17 @@ def fused_mlp_block(
     activation: str = "gelu",
     residual: bool = True,
     interpret: bool = False,
+    train_impl: str = "auto",
 ) -> jnp.ndarray:
     """``x + fc2(act(fc1(LN(x))))`` as ONE TPU kernel ([B, N, D] in/out).
 
-    Inference fast path; under differentiation the VJP rule falls back
-    to :func:`mlp_block_xla` so training is bit-identical to the
-    unfused graph.  Call sites gate on :func:`fused_mlp_fits`.
+    Under differentiation (``train_impl='auto'`` on TPU) the forward
+    IS this kernel and the backward is the companion Pallas kernel
+    (:func:`_fused_mlp_bwd`): only x is saved, the hidden activation is
+    recomputed in VMEM, parameter grads accumulate in fp32 on-chip.
+    ``train_impl='xla'`` restores the round-2 rule (differentiate the
+    unfused :func:`mlp_block_xla`, store-residuals).  Call sites gate
+    on :func:`fused_mlp_fits`.
     """
     return _fused_mlp(
         x, ln_scale, ln_bias, w1, b1, w2, b2,
@@ -238,7 +452,15 @@ def fused_mlp_block(
 
 
 def _fm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
-            eps, activation, residual, interpret):
+            eps, activation, residual, interpret, train_impl):
+    d, f = w1.shape
+    if _mlp_train_pallas(train_impl, d, f, x.dtype.itemsize, interpret):
+        out = _fused_mlp(
+            x, ln_scale, ln_bias, w1, b1, w2, b2,
+            eps=eps, activation=activation, residual=residual,
+            interpret=interpret,
+        )
+        return out, (x, ln_scale, ln_bias, w1, b1, w2)
     out, vjp = jax.vjp(
         lambda *a: mlp_block_xla(
             *a, eps=eps, activation=activation, residual=residual
@@ -248,8 +470,16 @@ def _fm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
     return out, vjp
 
 
-def _fm_bwd(eps, activation, residual, interpret, vjp, g):
-    return vjp(g)
+def _fm_bwd(eps, activation, residual, interpret, train_impl, res, g):
+    if callable(res):  # XLA rule: res is the jax.vjp closure
+        return res(g)
+    x, ln_scale, ln_bias, w1, b1, w2 = res
+    dx, dls, dlb, dw1, db1, dw2, db2 = _fused_mlp_bwd(
+        x, g, ln_scale, ln_bias, w1, b1, w2,
+        eps=eps, activation=activation, residual=residual,
+        interpret=interpret,
+    )
+    return dx, dls, dlb, dw1, db1, dw2, db2
 
 
 fused_mlp_block.defvjp(_fm_fwd, _fm_bwd)
