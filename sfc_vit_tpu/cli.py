@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="restore the best checkpoint and evaluate")
     t.add_argument("--data-parallel", type=int, default=-1)
     t.add_argument("--model-parallel", type=int, default=1)
+    t.add_argument("--pipeline-parallel", type=int, default=1,
+                   help="pipeline stages over the 'pipe' mesh axis "
+                        "(pre-norm ViT families; depth must divide)")
+    t.add_argument("--pipeline-microbatches", type=int, default=4)
     t.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
     return p
@@ -150,6 +154,8 @@ def main(argv=None) -> dict:
         seed=args.seed, workdir=args.workdir,
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
+        pipeline_parallel=args.pipeline_parallel,
+        pipeline_microbatches=args.pipeline_microbatches,
     )
     trainer = Trainer(
         model, tcfg, steps_per_epoch=steps,

@@ -157,6 +157,7 @@ class _PreNormAttention(nn.Module):
             return fused_attention_block(
                 x, ln_scale, ln_bias, w_qkv, w_out, self.heads,
                 interpret=_FORCE_FUSED, n_actual=self.n_actual,
+                train_impl=_TRAIN_IMPL,
             )
         # unfused: identical composition, attention dispatched by impl
         if self.n_actual is not None and self.n_actual < n:
@@ -297,6 +298,11 @@ class PreNormTransformer(nn.Module):
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "auto"
+    # final_norm=False runs the stack WITHOUT the closing LayerNorm —
+    # used by pipeline parallelism, where the depth split into stages
+    # must be norm-free (the final LN is applied once, after the last
+    # stage, by parallel.pipeline_model's head).
+    final_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -346,6 +352,8 @@ class PreNormTransformer(nn.Module):
                 x = curve_pair_merge_topk(x, self.merge_ratio)
         if pad_once:
             x = x[:, :n]
+        if not self.final_norm:
+            return x
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 

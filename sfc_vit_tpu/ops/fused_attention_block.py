@@ -26,8 +26,23 @@ sequence is one block): N <= ~1k, the regime of every reference model
 No biases: the pre-norm family's to_qkv/to_out are bias-free
 (``altvit.py:127,138``; models/simple_vit.py::_PreNormAttention).
 
-Backward: custom_vjp whose differentiated forward is the unfused XLA
-formula — training numerics/speed are exactly the unfused path.
+Backward (round 3): a second Pallas kernel, same grid.  The round-2
+rule differentiated the packed-QKV composition, whose store-weights
+VJP saves the [N, N] softmax probabilities per (image, head) — at
+ViT-B batch 256 that is ~265 MB of residual HBM traffic per layer
+written forward and read back, which is what made train throughput
+*fall* with batch size (VERDICT round 2 item 1).  The backward kernel
+saves ONLY the block input x: it recomputes LN -> QKV -> per-head
+softmax in VMEM (flash-style recompute, whole-sequence at short N),
+computes dq/dk/dv through the softmax jacobian, and accumulates
+dW_qkv/dW_out/dLN in fp32 VMEM across the grid — HBM traffic is one
+read of x + one read of g + one write of dx.  ``train_impl='xla'``
+restores the round-2 rule.
+
+Pad semantics under the Pallas rule match ``attention_block_train``:
+pad-row cotangents pass through dx unchanged (residual identity) and
+contribute nothing to any parameter grad (g rows >= n_actual are
+zeroed before every grad path; dxn pad rows are exactly zero).
 """
 
 from __future__ import annotations
@@ -62,6 +77,7 @@ __all__ = [
     "attention_block_xla",
     "attention_block_train",
     "fused_attention_block_fits",
+    "attn_block_bwd_fits",
 ]
 
 _VMEM_LIMIT = 100 * 2 ** 20
@@ -230,6 +246,245 @@ def _fused_attn_block(
     return out[:, :n]
 
 
+def _attn_block_bwd_kernel(
+    x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref,
+    dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
+    qkv_s, datt_s, att_s, dqkv_s,
+    *, heads: int, dh: int, scale: float, eps: float,
+    n_pad: int, n_actual: int,
+):
+    """One image-group tile of the attention-block backward.
+
+    Recomputes LN/QKV/softmax from the saved x (nothing but x was
+    stored), then walks the chain in reverse; parameter grads
+    accumulate in fp32 constant-index output blocks across the grid.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros(dwqkv_ref.shape, dwqkv_ref.dtype)
+        dwout_ref[...] = jnp.zeros(dwout_ref.shape, dwout_ref.dtype)
+        dls_ref[...] = jnp.zeros(dls_ref.shape, dls_ref.dtype)
+        dlb_ref[...] = jnp.zeros(dlb_ref.shape, dlb_ref.dtype)
+
+    bb = x_ref.shape[0]
+    d = x_ref.shape[2]
+    inner = heads * dh
+    rows = bb * n_pad
+    x = x_ref[...].reshape(rows, d)
+    g = g_ref[...].reshape(rows, d)
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    # --- recompute LN + QKV (same numerics as the forward kernel) ---
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean, 0.0
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv
+    lns = lns_ref[...].astype(jnp.float32)
+    xn = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(x.dtype)
+    qkv_s[...] = jax.lax.dot_general(
+        xn, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+    # Pad-row policy (matches attention_block_train): rows >= n_actual
+    # contribute NOTHING to parameter grads and their cotangent passes
+    # straight through dx.  Zeroing g on pad rows before every grad
+    # path enforces both (dxn pad rows become exactly zero).
+    masked = n_actual < n_pad
+    if masked:
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        in_img = row - (row // n_pad) * n_pad
+        gp = jnp.where(in_img < n_actual, g, 0).astype(x.dtype)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    else:
+        gp = g
+    datt_s[...] = jax.lax.dot_general(
+        gp, wout_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+    # --- per (image, head): recompute softmax, backprop through it ---
+    for bi in range(bb):
+        rsl = slice(bi * n_pad, (bi + 1) * n_pad)
+        blk = qkv_s[rsl, :]
+        for h in range(heads):
+            q = blk[:, h * dh : (h + 1) * dh]
+            k = blk[:, inner + h * dh : inner + (h + 1) * dh]
+            v = blk[:, 2 * inner + h * dh : 2 * inner + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if masked:
+                s = jnp.where(col < n_actual, s, _NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            pn = (p / l).astype(v.dtype)  # the fwd GEMM operand
+            att_s[rsl, h * dh : (h + 1) * dh] = jax.lax.dot_general(
+                pn, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(att_s.dtype)
+            da = datt_s[rsl, h * dh : (h + 1) * dh]
+            dpn = jax.lax.dot_general(
+                da, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (N, N)
+            pf = pn.astype(jnp.float32)
+            delta = jnp.sum(dpn * pf, axis=1, keepdims=True)
+            ds = (pf * (dpn - delta) * scale).astype(x.dtype)
+            dqkv_s[rsl, h * dh : (h + 1) * dh] = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_s.dtype)
+            dqkv_s[rsl, inner + h * dh : inner + (h + 1) * dh] = (
+                jax.lax.dot_general(
+                    ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dqkv_s.dtype)
+            )
+            dqkv_s[rsl, 2 * inner + h * dh : 2 * inner + (h + 1) * dh] = (
+                jax.lax.dot_general(
+                    pn, da, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dqkv_s.dtype)
+            )
+
+    # --- projections + LN backward ---
+    dwout_ref[...] += jax.lax.dot_general(
+        att_s[...], gp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxn = jax.lax.dot_general(
+        dqkv_s[...], wqkv_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, D) fp32; exactly zero on pad rows
+    dwqkv_ref[...] += jax.lax.dot_general(
+        xn, dqkv_s[...], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dls_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlb_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxh = dxn * lns
+    m1 = jnp.mean(dxh, axis=1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=1, keepdims=True)
+    dxf = inv * (dxh - m1 - xhat * m2)
+    dx_ref[...] = (gf + dxf).reshape(bb, n_pad, d).astype(dx_ref.dtype)
+
+
+def attn_block_bwd_fits(
+    n: int, d: int, inner: int, itemsize: int, block_b: int = 4
+) -> bool:
+    """VMEM gate for the backward kernel: fwd-kernel footprint + the
+    fp32 dW accumulators, the extra datt/dqkv/att scratches, and the
+    fp32 row values (xhat, dxn) the LN backward keeps live."""
+    n_pad = _round_up(n, 16)
+    if n > 1024:
+        return False
+    rows = block_b * n_pad
+    weights = (d * 3 * inner + inner * d) * itemsize
+    accums = (d * 3 * inner + inner * d) * 4 + 2 * d * 4
+    tiles = 6 * rows * d * itemsize  # x + g + dx, double-buffered
+    scratch = rows * (2 * 3 * inner + 2 * inner) * itemsize
+    logits = 4 * n_pad * _round_up(n_pad, 128) * 4  # s/p/dpn/ds fp32
+    row_f32 = 4 * rows * d * 4  # xhat, dxn, dxh, dxf
+    return (weights + accums + tiles + scratch + logits + row_f32
+            <= 0.6 * _VMEM_LIMIT)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "heads", "scale", "eps", "block_b", "interpret", "n_actual"
+    ),
+)
+def _fused_attn_block_bwd(
+    x, g, ln_scale, ln_bias, w_qkv, w_out,
+    heads: int, scale: float, eps: float,
+    block_b: int = 4, interpret: bool = False,
+    n_actual: Optional[int] = None,
+):
+    b, n, d = x.shape
+    inner3 = w_qkv.shape[1]
+    inner = inner3 // 3
+    dh = inner // heads
+    n_pad = _round_up(n, 16)
+    real = n if n_actual is None else n_actual
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        x = jnp.pad(x, pad)
+        g = jnp.pad(g, pad)
+    while b % block_b != 0:
+        block_b //= 2
+    rows = block_b * n_pad
+    row2 = lambda a: a.reshape(1, -1)
+
+    tile = pl.BlockSpec((block_b, n_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    dx, dwqkv, dwout, dls, dlb = pl.pallas_call(
+        functools.partial(
+            _attn_block_bwd_kernel, heads=heads, dh=dh, scale=scale,
+            eps=eps, n_pad=n_pad, n_actual=real,
+        ),
+        grid=(b // block_b,),
+        in_specs=[
+            tile, tile,
+            const(1, d), const(1, d),
+            const(d, inner3), const(inner, d),
+        ],
+        out_specs=(
+            tile,
+            const(d, inner3), const(inner, d),
+            const(1, d), const(1, d),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((d, inner3), jnp.float32),
+            jax.ShapeDtypeStruct((inner, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, inner3), x.dtype),   # qkv
+            pltpu.VMEM((rows, inner), x.dtype),    # datt
+            pltpu.VMEM((rows, inner), x.dtype),    # att (recomputed)
+            pltpu.VMEM((rows, inner3), x.dtype),   # dqkv
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(
+                4 * b * n_pad * d * inner3           # qkv fwd+bwd proj
+                + 10 * b * heads * n_pad * n_pad * dh  # attn fwd+bwd
+                + 4 * b * n_pad * inner * d           # out proj bwd
+            ),
+            bytes_accessed=(3 * b * n_pad * d * x.dtype.itemsize
+                            + 2 * (d * inner3 + inner * d) * 4),
+            transcendentals=b * heads * n_pad * n_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(x, g, row2(ln_scale), row2(ln_bias), w_qkv, w_out)
+
+    cast = lambda a, like: a.reshape(like.shape).astype(like.dtype)
+    return (
+        dx[:, :n],
+        cast(dls, ln_scale), cast(dlb, ln_bias),
+        cast(dwqkv, w_qkv), cast(dwout, w_out),
+    )
+
+
 def attention_block_xla(
     x, ln_scale, ln_bias, w_qkv, w_out,
     heads: int, scale: Optional[float] = None, eps: float = 1e-5,
@@ -269,7 +524,22 @@ def attention_block_xla(
     return x + att @ w_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _attn_train_pallas(train_impl: str, n: int, d: int, inner: int,
+                       itemsize: int, interpret: bool) -> bool:
+    """Trace-time choice of training rule (see module docstring)."""
+    if train_impl == "pallas":
+        return True
+    if train_impl != "auto":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    return (
+        (on_tpu or interpret)
+        and d % 128 == 0 and inner % 128 == 0
+        and attn_block_bwd_fits(n, d, inner, itemsize)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def fused_attention_block(
     x: jnp.ndarray,
     ln_scale: jnp.ndarray,
@@ -281,15 +551,20 @@ def fused_attention_block(
     eps: float = 1e-5,
     interpret: bool = False,
     n_actual: Optional[int] = None,
+    train_impl: str = "auto",
 ) -> jnp.ndarray:
     """Whole pre-norm attention block as ONE TPU kernel ([B,N,D] in/out).
 
-    Inference fast path (fp32 softmax, fp32 LN stats); under
-    differentiation the VJP rule is the unfused composition.  Call
-    sites gate on :func:`fused_attention_block_fits`.  ``n_actual``
-    marks rows past it as padding (pad-once sequence layout): padded
-    KEY columns are masked out of every softmax and pad rows pass
-    through as residual identity in the differentiated forward.
+    Under differentiation (``train_impl='auto'`` on TPU) the forward
+    IS this kernel and the backward is the companion recompute-softmax
+    Pallas kernel (:func:`_fused_attn_block_bwd`): only x is saved, no
+    [N, N] probability residual ever touches HBM.  ``train_impl='xla'``
+    restores the round-2 rule (differentiate the packed-QKV
+    composition, store-weights VJP).  Call sites gate on
+    :func:`fused_attention_block_fits`.  ``n_actual`` marks rows past
+    it as padding (pad-once sequence layout): padded KEY columns are
+    masked out of every softmax and pad rows pass through as residual
+    identity under both training rules.
     """
     _validate_packed_shapes(x.shape[-1], w_qkv.shape[1], heads)
     inner = w_qkv.shape[1] // 3
@@ -334,7 +609,18 @@ def attention_block_train(
 
 
 def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
-             interpret, n_actual):
+             interpret, n_actual, train_impl):
+    inner = w_qkv.shape[1] // 3
+    if _attn_train_pallas(train_impl, x.shape[1], x.shape[2], inner,
+                          x.dtype.itemsize, interpret):
+        dh = inner // heads
+        s = dh ** -0.5 if scale is None else scale
+        out = _fused_attn_block(
+            x, ln_scale, ln_bias, w_qkv, w_out,
+            heads=heads, scale=s, eps=eps, interpret=interpret,
+            n_actual=n_actual,
+        )
+        return out, (x, ln_scale, ln_bias, w_qkv, w_out)
     out, vjp = jax.vjp(
         lambda *a: attention_block_train(
             *a, heads=heads, scale=scale, eps=eps, n_actual=n_actual
@@ -344,8 +630,18 @@ def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
     return out, vjp
 
 
-def _fab_bwd(heads, scale, eps, interpret, n_actual, vjp, g):
-    return vjp(g)
+def _fab_bwd(heads, scale, eps, interpret, n_actual, train_impl, res, g):
+    if callable(res):  # XLA rule: res is the jax.vjp closure
+        return res(g)
+    x, ln_scale, ln_bias, w_qkv, w_out = res
+    inner = w_qkv.shape[1] // 3
+    dh = inner // heads
+    s = dh ** -0.5 if scale is None else scale
+    return _fused_attn_block_bwd(
+        x, g, ln_scale, ln_bias, w_qkv, w_out,
+        heads=heads, scale=s, eps=eps, interpret=interpret,
+        n_actual=n_actual,
+    )
 
 
 fused_attention_block.defvjp(_fab_fwd, _fab_bwd)

@@ -2,10 +2,17 @@
 
 from .context import active_sequence_sharding, sequence_sharding
 from .pipeline import pipeline_apply, stack_stage_params, stage_sharding
+from .pipeline_model import (
+    make_pipelined_apply,
+    merge_pipeline_params,
+    pipeline_state_sharding,
+    split_pipeline_params,
+)
 from .sequence import ring_attention, sequence_parallel_attention
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    PIPE_AXIS,
     apply_param_sharding,
     batch_sharding,
     init_distributed,
@@ -32,4 +39,9 @@ __all__ = [
     "pipeline_apply",
     "stack_stage_params",
     "stage_sharding",
+    "PIPE_AXIS",
+    "make_pipelined_apply",
+    "merge_pipeline_params",
+    "pipeline_state_sharding",
+    "split_pipeline_params",
 ]

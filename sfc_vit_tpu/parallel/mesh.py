@@ -31,6 +31,7 @@ __all__ = [
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def init_distributed(
@@ -50,23 +51,29 @@ def init_distributed(
 def make_mesh(
     data: int = -1,
     model: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ("data", "model") mesh.
+    """Build a ("data", "model", "pipe") mesh.
 
     ``data=-1`` consumes all remaining devices.  For a single device this
-    degenerates to a 1x1 mesh, so the same jitted train step runs
-    unchanged from 1 chip to a pod slice.
+    degenerates to a 1x1x1 mesh, so the same jitted train step runs
+    unchanged from 1 chip to a pod slice.  Size-1 axes are free: specs
+    that never mention "pipe" behave exactly as on the old 2-axis mesh.
     """
     devs = np.asarray(devices if devices is not None else jax.devices())
     n = devs.size
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, (
-        f"mesh {data}x{model} != {n} available devices"
+        assert n % (model * pipe) == 0, (
+            f"{n} devices not divisible by model*pipe={model * pipe}"
+        )
+        data = n // (model * pipe)
+    assert data * model * pipe == n, (
+        f"mesh {data}x{model}x{pipe} != {n} available devices"
     )
-    return Mesh(devs.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+    return Mesh(
+        devs.reshape(data, model, pipe), (DATA_AXIS, MODEL_AXIS, PIPE_AXIS)
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -55,6 +55,7 @@ def pipeline_apply(
     stacked_params,
     x: jnp.ndarray,
     axis: str = "pipe",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Apply ``S = mesh.shape[axis]`` chained stages to ``x`` in pipeline.
 
@@ -68,6 +69,9 @@ def pipeline_apply(
             the shard_map in_spec partitions it over ``axis``.
         x: ``[M, mb, ...]`` microbatches (M >= 1; more microbatches =
             smaller bubble).
+        batch_axis: optional second mesh axis to shard the microbatch
+            (dim 1) over — composes PP with data parallelism on a
+            ``(data, pipe)`` mesh; the ring permutes over ``axis`` only.
 
     Returns:
         ``[M, mb, ...]`` outputs = stage_{S-1}(...stage_0(x)), identical
@@ -86,13 +90,15 @@ def pipeline_apply(
 
         mb_shape = xs.shape[1:]
         # carries vary over the pipe axis (each device holds different
-        # activations); mark the zero inits as varying so scan's type
+        # activations) — and over the batch axis when the microbatch is
+        # data-sharded; mark the zero inits as varying so scan's type
         # check accepts the ppermute outputs.
+        varying = (axis,) + ((batch_axis,) if batch_axis else ())
         pad = jax.lax.pcast(
-            jnp.zeros(mb_shape, xs.dtype), (axis,), to="varying"
+            jnp.zeros(mb_shape, xs.dtype), varying, to="varying"
         )
         outs0 = jax.lax.pcast(
-            jnp.zeros((m,) + mb_shape, xs.dtype), (axis,), to="varying"
+            jnp.zeros((m,) + mb_shape, xs.dtype), varying, to="varying"
         )
 
         def tick(carry, t):
@@ -121,10 +127,11 @@ def pipeline_apply(
         mask = (idx == s - 1).astype(outs.dtype)
         return jax.lax.psum(outs * mask, axis)
 
+    xspec = P(None, batch_axis) if batch_axis else P()
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), xspec),
+        out_specs=xspec,
     )
     return fn(stacked_params, x)

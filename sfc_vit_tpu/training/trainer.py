@@ -53,6 +53,8 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     data_parallel: int = -1  # -1: all devices
     model_parallel: int = 1
+    pipeline_parallel: int = 1  # stages over the 'pipe' mesh axis
+    pipeline_microbatches: int = 4  # GPipe M (bubble = (S-1)/(M+S-1))
 
 
 class Trainer:
@@ -78,7 +80,8 @@ class Trainer:
         self.model = model
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=config.data_parallel, model=config.model_parallel
+            data=config.data_parallel, model=config.model_parallel,
+            pipe=config.pipeline_parallel,
         )
         total_steps = config.epochs * steps_per_epoch
         warmup_steps = config.warmup_epochs * steps_per_epoch
@@ -126,9 +129,35 @@ class Trainer:
             self.state = self.state.replace(
                 params=init_params, opt_state=tx.init(init_params)
             )
-        # Replicate state over the mesh; batch arrives data-sharded.
         rep = replicated(self.mesh)
-        self.state = jax.device_put(self.state, rep)
+        if config.pipeline_parallel > 1:
+            # Pipeline-parallel model path: convert the sequential param
+            # tree to the pipelined layout ({"outer", "stages"}), swap
+            # apply_fn for the GPipe microbatch ring, and stage-shard
+            # the stacked subtrees (plus their Adam mirrors) P('pipe').
+            from ..parallel.pipeline_model import (
+                make_pipelined_apply,
+                pipeline_state_sharding,
+                split_pipeline_params,
+            )
+
+            s = config.pipeline_parallel
+            pp_params = split_pipeline_params(
+                self.state.params, model.depth, s
+            )
+            apply_fn = make_pipelined_apply(
+                model, self.mesh, s, config.pipeline_microbatches
+            )
+            self.state = TrainState.create(
+                apply_fn=apply_fn, params=pp_params, tx=tx
+            )
+            state_sh = pipeline_state_sharding(self.mesh, self.state)
+        else:
+            state_sh = jax.tree_util.tree_map(
+                lambda _: rep, self.state
+            )
+        # Shard/replicate state over the mesh; batch arrives data-sharded.
+        self.state = jax.device_put(self.state, state_sh)
         bsh = batch_sharding(self.mesh)
         train_step = make_train_step(
             num_classes=config.num_classes,
@@ -140,13 +169,13 @@ class Trainer:
         )
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, (bsh, bsh), None),
-            out_shardings=(rep, rep),
+            in_shardings=(state_sh, (bsh, bsh), None),
+            out_shardings=(state_sh, rep),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
             make_eval_step(config.num_classes),
-            in_shardings=(rep, (bsh, bsh)),
+            in_shardings=(state_sh, (bsh, bsh)),
             out_shardings=rep,
         )
         self.logger = MetricsLogger(config.workdir)

@@ -52,11 +52,18 @@ def test_batch_not_multiple_of_block():
     )
 
 
-def test_grads_are_packed_vjp_composition():
+def test_xla_rule_grads_are_packed_vjp_composition():
+    """train_impl='xla' restores the round-2 store-weights rule:
+    grads bit-match the packed-QKV composition."""
     args, heads = _inputs(b=2, n=64)
 
     def loss_fused(*a):
-        return jnp.sum(fused_attention_block(*a, heads, interpret=True) ** 2)
+        return jnp.sum(
+            fused_attention_block(
+                *a, heads, interpret=True,
+                train_impl="xla",
+            ) ** 2
+        )
 
     def loss_ref(*a):
         return jnp.sum(attention_block_train(*a, heads=heads) ** 2)
@@ -67,6 +74,126 @@ def test_grads_are_packed_vjp_composition():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
         )
+
+
+def test_pallas_bwd_matches_composition_grads():
+    """The round-3 recompute-softmax Pallas backward vs the packed-QKV
+    composition grads: fp32, every argnum (x, both LN params, both
+    projections)."""
+    args, heads = _inputs(b=2, n=64)
+    argnums = tuple(range(5))
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_attention_block(
+                *a, heads, interpret=True, train_impl="pallas"
+            ) ** 2
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(attention_block_train(*a, heads=heads) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=argnums)(*args)
+    g2 = jax.grad(loss_ref, argnums=argnums)(*args)
+    for a, b in zip(g1, g2):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
+        )
+
+
+def test_pallas_bwd_odd_shapes_grads():
+    """Sequence padding (n=100 -> 112) + block_b auto-halving under the
+    Pallas backward."""
+    args, heads = _inputs(b=3, n=100)
+    argnums = tuple(range(5))
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_attention_block(
+                *a, heads, interpret=True, train_impl="pallas"
+            ) ** 2
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(attention_block_train(*a, heads=heads) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=argnums)(*args)
+    g2 = jax.grad(loss_ref, argnums=argnums)(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
+        )
+
+
+def test_pallas_bwd_bf16_grads():
+    """bf16 end-to-end: training-equivalence via relative L2 per leaf
+    (elementwise is meaningless at bf16 — see fused-MLP test)."""
+    args, heads = _inputs(b=2, n=64)
+    args = tuple(a.astype(jnp.bfloat16) for a in args)
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_attention_block(
+                *a, heads, interpret=True, train_impl="pallas"
+            ).astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(
+            attention_block_train(*a, heads=heads).astype(jnp.float32)
+            ** 2
+        )
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(5)))(*args)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(5)))(*args)
+    for a, b in zip(g1, g2):
+        assert a.dtype == jnp.bfloat16
+        af = np.asarray(a, np.float32).ravel()
+        bf = np.asarray(b, np.float32).ravel()
+        rel = np.linalg.norm(af - bf) / (np.linalg.norm(bf) + 1e-9)
+        assert rel < 2e-2, rel
+
+
+def test_pallas_bwd_n_actual_pad_semantics():
+    """Pallas backward with n_actual: real-row grads match the train
+    rule, pad-row cotangents pass straight through, pad rows add
+    nothing to parameter grads."""
+    args, heads = _inputs(b=2, n=60)
+    x = args[0]
+
+    def loss_padded(x, lns, lnb, wq, wo):
+        out = fused_attention_block(
+            jnp.pad(x, ((0, 0), (0, 4), (0, 0))), lns, lnb, wq, wo,
+            heads, None, 1e-5, True, 60, "pallas",
+        )
+        return jnp.sum(out[:, :60] ** 2)
+
+    def loss_ref(x, lns, lnb, wq, wo):
+        return jnp.sum(
+            attention_block_train(x, lns, lnb, wq, wo, heads=heads) ** 2
+        )
+
+    g1 = jax.grad(loss_padded, argnums=(0, 1, 3, 4))(*args)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 3, 4))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
+        )
+
+    # pad-row cotangent pass-through: d/dxp of sum(out[:, 60:] * C)
+    # must be exactly C on pad rows and affect no parameter grad
+    xp = jnp.pad(x, ((0, 0), (0, 4), (0, 0)))
+
+    def loss_pad_rows(xp, lns, lnb, wq, wo):
+        out = fused_attention_block(
+            xp, lns, lnb, wq, wo, heads, None, 1e-5, True, 60, "pallas"
+        )
+        return jnp.sum(out[:, 60:] * 3.0)
+
+    gx, gw = jax.grad(loss_pad_rows, argnums=(0, 3))(xp, *args[1:])
+    np.testing.assert_allclose(np.asarray(gx[:, 60:]), 3.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw), 0.0, atol=1e-6)
 
 
 def test_fits_gate():
@@ -127,7 +254,7 @@ def test_n_actual_train_rule_passthrough_grads():
     def loss_padded(x, lns, lnb, wq, wo):
         out = fused_attention_block(
             jnp.pad(x, ((0, 0), (0, 4), (0, 0))), lns, lnb, wq, wo,
-            heads, None, 1e-5, True, 60,
+            heads, None, 1e-5, True, 60, "xla",
         )
         return jnp.sum(out[:, :60] ** 2)
 

@@ -18,9 +18,11 @@ from sfc_vit_tpu.parallel.sequence import sequence_parallel_attention
 
 def test_make_mesh_shapes():
     mesh = make_mesh(data=4, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "model": 2, "pipe": 1}
     mesh1 = make_mesh(data=1, devices=jax.devices()[:1])
-    assert mesh1.shape == {"data": 1, "model": 1}
+    assert mesh1.shape == {"data": 1, "model": 1, "pipe": 1}
+    mesh_pp = make_mesh(data=2, pipe=4)
+    assert mesh_pp.shape == {"data": 2, "model": 1, "pipe": 4}
 
 
 def test_shard_batch_places_on_mesh():
@@ -288,3 +290,181 @@ def test_pipeline_single_stage_degenerates():
         mesh, lambda p, a: a @ p["w"], stack_stage_params(p), x
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-6)
+
+
+# ---------------- pipeline parallelism as a model path (round 3) ----
+
+
+def _pp_curvevit(depth=4):
+    from sfc_vit_tpu.models import CurveViT
+
+    return CurveViT(
+        curve="hilbert", image_size=32, patch_size=4, num_classes=10,
+        dim=64, depth=depth, heads=2, mlp_dim=128, dim_head=32,
+    )
+
+
+def test_pipeline_param_roundtrip_exact():
+    from sfc_vit_tpu.parallel import (
+        merge_pipeline_params,
+        split_pipeline_params,
+    )
+
+    m = _pp_curvevit()
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    p = m.init({"params": jax.random.key(0)}, x)["params"]
+    pp = split_pipeline_params(p, 4, 4)
+    assert set(pp) == {"outer", "stages"}
+    # every stacked leaf has the stage axis
+    for leaf in jax.tree_util.tree_leaves(pp["stages"]):
+        assert leaf.shape[0] == 4
+    back = merge_pipeline_params(pp, 4, 4)
+    ref = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(p)
+    }
+    for k, v in jax.tree_util.tree_leaves_with_path(back):
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(ref[jax.tree_util.keystr(k)])
+        )
+
+
+@pytest.mark.parametrize("family", ["curve", "simple"])
+def test_pipelined_apply_matches_sequential_model(family):
+    """Pipelined forward over a (data=2, pipe=4) mesh == the sequential
+    model (tolerance, not bit-exact: shard_map recompilation changes
+    FMA/fusion rounding at the 1e-6 fp32 level — same bar as SP)."""
+    from sfc_vit_tpu.models import SimpleViT
+    from sfc_vit_tpu.parallel import (
+        make_mesh,
+        make_pipelined_apply,
+        split_pipeline_params,
+    )
+
+    if family == "curve":
+        m = _pp_curvevit()
+    else:
+        m = SimpleViT(image_size=32, patch_size=4, num_classes=10,
+                      dim=64, depth=4, heads=2, mlp_dim=128, dim_head=32)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 32, 32, 3)),
+        jnp.float32,
+    )
+    p = m.init({"params": jax.random.key(0)}, x)["params"]
+    ref = m.apply({"params": p}, x)
+
+    mesh = make_mesh(data=2, pipe=4)
+    pp = split_pipeline_params(p, 4, 4)
+    ap = make_pipelined_apply(m, mesh, 4, microbatches=4)
+    out = ap({"params": pp}, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pipelined_train_step_matches_sequential():
+    """One full training step (mixing off, AdamW) through the pipelined
+    apply == the sequential step: loss and every updated param leaf
+    (merged back to the sequential layout) at the SP-integration bar."""
+    from sfc_vit_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        make_pipelined_apply,
+        merge_pipeline_params,
+        pipeline_state_sharding,
+        split_pipeline_params,
+    )
+    from sfc_vit_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        warmup_cosine,
+    )
+    from sfc_vit_tpu.training.steps import TrainState
+
+    m = _pp_curvevit()
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 32, 32, 3)),
+        jnp.float32,
+    )
+    y = jnp.arange(8, dtype=jnp.int32) % 10
+    sched = warmup_cosine(3e-4, 2, 10)
+    tx = make_optimizer(sched)
+    step = make_train_step(num_classes=10, use_mixing=False,
+                           schedule=sched)
+    key = jax.random.key(1)
+
+    seq_state = create_train_state(m, jax.random.key(0), x[:1], tx)
+    seq_new, seq_metrics = jax.jit(step)(seq_state, (x, y), key)
+
+    mesh = make_mesh(data=2, pipe=4)
+    pp_params = split_pipeline_params(seq_state.params, 4, 4)
+    ap = make_pipelined_apply(m, mesh, 4, microbatches=4)
+    pp_state = TrainState.create(apply_fn=ap, params=pp_params, tx=tx)
+    sh = pipeline_state_sharding(mesh, pp_state)
+    pp_state = jax.device_put(pp_state, sh)
+    bsh = batch_sharding(mesh)
+    jitted = jax.jit(step, in_shardings=(sh, (bsh, bsh), None),
+                     out_shardings=(sh, None))
+    pp_new, pp_metrics = jitted(pp_state, (x, y), key)
+
+    np.testing.assert_allclose(
+        float(pp_metrics["loss"]), float(seq_metrics["loss"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    merged = merge_pipeline_params(pp_new.params, 4, 4)
+    ref = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(seq_new.params)
+    }
+    for k, v in jax.tree_util.tree_leaves_with_path(merged):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(ref[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=5e-4, err_msg=jax.tree_util.keystr(k),
+        )
+    # the stage params really are sharded over 'pipe'
+    leaf = jax.tree_util.tree_leaves(pp_new.params["stages"])[0]
+    assert "pipe" in str(leaf.sharding.spec)
+
+
+def test_trainer_pipeline_parallel_end_to_end():
+    """Trainer(--pipeline-parallel 4): epoch of training + eval on the
+    (2, 1, 4) mesh runs, learns a finite loss, and checkpoint state
+    stays the pipelined layout."""
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    m = _pp_curvevit()
+    cfg = TrainConfig(
+        num_classes=10, epochs=1, warmup_epochs=0, use_mixing=False,
+        data_parallel=2, pipeline_parallel=4, pipeline_microbatches=2,
+    )
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    ys = (np.arange(16) % 10).astype(np.int32)
+    tr = Trainer(m, cfg, steps_per_epoch=2,
+                 sample_input=np.zeros((2, 32, 32, 3), np.float32))
+    batches = lambda: iter(
+        [(xs[:8], ys[:8]), (xs[8:], ys[8:])]
+    )
+    rec = tr.train_epoch(batches())
+    assert np.isfinite(rec["train_loss"])
+    ev = tr.evaluate(batches())
+    assert np.isfinite(ev["test_loss"])
+    assert set(tr.state.params) == {"outer", "stages"}
+
+
+def test_pipelined_apply_rejects_bad_configs():
+    from sfc_vit_tpu.parallel import make_mesh, make_pipelined_apply
+
+    mesh = make_mesh(data=2, pipe=4)
+    m = _pp_curvevit(depth=5)  # 5 % 4 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        make_pipelined_apply(m, mesh, 4, microbatches=2)
+
+    from sfc_vit_tpu.models.layers import TransformerSeqEncoder
+
+    with pytest.raises(TypeError, match="pre-norm"):
+        make_pipelined_apply(
+            TransformerSeqEncoder(dim=32, n_heads=2, hidden_dim=64),
+            mesh, 4, microbatches=2,
+        )
