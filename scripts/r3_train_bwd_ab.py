@@ -68,8 +68,9 @@ def kernel_microbench():
                                     train_impl=_impl)
                 return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-12
 
+            # perturb WITHOUT promoting bf16 -> f32 (f32 scalar carry)
             l, gr = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-                x + c * 1e-24, w1, w2
+                x + (c * 1e-24).astype(x.dtype), w1, w2
             )
             acc = sum(g.astype(jnp.float32).sum() for g in gr)
             return (l + acc * 1e-12).astype(jnp.float32)
@@ -88,7 +89,7 @@ def kernel_microbench():
                 return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-12
 
             l, gr = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-                x + c * 1e-24, wq, wo
+                x + (c * 1e-24).astype(x.dtype), wq, wo
             )
             acc = sum(g.astype(jnp.float32).sum() for g in gr)
             return (l + acc * 1e-12).astype(jnp.float32)
