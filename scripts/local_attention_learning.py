@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Does curve-local attention LEARN as well as dense? (round 3, VERDICT
+item 2).
+
+Round 2 established curve-local block attention's throughput (7.28x XLA
+train at 4k tokens) but no accuracy evidence — windowed attention
+computes a different function than dense.  This experiment runs the
+compare-curves protocol (3 seeds x N epochs, mean+-std accuracy per
+epoch) on the 4k-token long-context model: CurveViT 256x256/patch-4
+(hilbert order), ``attn_impl='local'`` (block 128, halo 1 — the
+curve-locality window) vs dense ``attn_impl='xla'``, on the
+class-separable synthetic set (CIFAR-10 absent on this zero-egress
+image; same caveat as results/compare_curves_synthetic.json).
+
+Whole epochs run device-side (lax.scan over index batches into the
+device-resident uint8 dataset) — the remote chip costs ~40 ms per
+dispatch, so per-step dispatch would dominate.
+
+    PYTHONPATH=/root/.axon_site:/root/repo nohup python \
+        scripts/local_attention_learning.py > /tmp/r3_local.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps-per-epoch", type=int, default=16)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--impls", nargs="+", default=["local", "xla"])
+    p.add_argument("--platform", default=None)
+    p.add_argument("--out", default="results/local_attention_learning.json")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sfc_vit_tpu.data import synthetic_dataset
+    from sfc_vit_tpu.models import CurveViT
+    from sfc_vit_tpu.training import (
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+        warmup_cosine,
+    )
+
+    hw = args.image_size
+    train_ds = synthetic_dataset(n=512, hw=hw, seed=0)
+    test_ds = synthetic_dataset(n=128, hw=hw, seed=1)
+    imgs_tr = jnp.asarray(train_ds.images)   # device-resident uint8
+    lbl_tr = jnp.asarray(train_ds.labels)
+    imgs_te = jnp.asarray(test_ds.images)
+    lbl_te = jnp.asarray(test_ds.labels)
+    mean = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    std = jnp.asarray([0.25, 0.25, 0.25], jnp.float32)
+
+    def norm(u8):
+        return (u8.astype(jnp.float32) / 255.0 - mean) / std
+
+    bs = args.batch_size
+    spe = args.steps_per_epoch
+    total = args.epochs * spe
+    n_eval = len(test_ds) // bs
+    results = {}
+
+    for impl in args.impls:
+        model = CurveViT(
+            curve="hilbert", image_size=hw, patch_size=4, num_classes=10,
+            dim=128, depth=2, heads=4, mlp_dim=256, dim_head=32,
+            attn_impl=impl,
+        )
+        sched = warmup_cosine(3e-4, spe, total)
+        tx = make_optimizer(sched)
+        step = make_train_step(num_classes=10, use_mixing=False,
+                               schedule=sched)
+        estep = make_eval_step(num_classes=10)
+
+        @jax.jit
+        def train_epoch(state, idxs, key):
+            def body(st, i):
+                st, m = step(
+                    st, (norm(imgs_tr[i]), lbl_tr[i]), key
+                )
+                return st, m["loss"]
+
+            state, losses = lax.scan(body, state, idxs)
+            return state, losses.mean()
+
+        @jax.jit
+        def eval_all(state, idxs):
+            def body(carry, i):
+                m = estep(state, (norm(imgs_te[i]), lbl_te[i]))
+                return carry, (m["correct"], m["count"])
+
+            _, (cor, cnt) = lax.scan(body, 0, idxs)
+            return cor.sum() / cnt.sum()
+
+        eidx = jnp.arange(n_eval * bs).reshape(n_eval, bs)
+        per_seed = []
+        for seed in range(args.seeds):
+            state = create_train_state(
+                model, jax.random.key(seed),
+                jnp.zeros((1, hw, hw, 3), jnp.float32), tx,
+            )
+            accs = []
+            rng = np.random.default_rng(100 + seed)
+            for ep in range(args.epochs):
+                order = rng.permutation(len(train_ds))[: spe * bs]
+                idxs = jnp.asarray(order.reshape(spe, bs))
+                state, loss = train_epoch(
+                    state, idxs, jax.random.key(seed * 1000 + ep)
+                )
+                acc = float(eval_all(state, eidx))
+                accs.append(acc)
+                print(f"{impl} seed={seed} epoch={ep + 1} "
+                      f"loss={float(loss):.4f} acc={acc:.4f}", flush=True)
+            per_seed.append(accs)
+        arr = np.asarray(per_seed)
+        results[impl] = {
+            "per_seed": arr.tolist(),
+            "mean": arr.mean(axis=0).tolist(),
+            "std": arr.std(axis=0).tolist(),
+        }
+
+    summary = {
+        impl: {
+            "final_mean": r["mean"][-1],
+            "final_std": r["std"][-1],
+            "best_mean": max(r["mean"]),
+        }
+        for impl, r in results.items()
+    }
+    out = {
+        "protocol": {
+            "model": "CurveViT hilbert 256x256/p4 (4096 tokens) "
+                     "d128/depth2/h4",
+            "local_window": "block=128 halo=1 (ops/local_attention.py "
+                            "defaults)",
+            "dataset": "synthetic class-separable (CIFAR-10 absent; "
+                       "see compare_curves_synthetic.json)",
+            "seeds": args.seeds, "epochs": args.epochs,
+            "batch": bs, "steps_per_epoch": spe,
+        },
+        "results": results,
+        "summary": summary,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

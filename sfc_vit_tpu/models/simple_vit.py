@@ -75,6 +75,11 @@ _FORCE_FUSED = False
 # re-jit / use distinct step fns when toggling, as the A/B scripts do.
 _TRAIN_IMPL = "auto"
 
+# Above this token count, the observability capture sows the flash
+# kernel's LSE (+ q/k) instead of full [B,H,N,N] weights; rows
+# reconstruct on demand via utils.profiling.attention_rows.
+_WEIGHTS_CAPTURE_MAX = 2048
+
 
 def _fused_attn_gate(attn_impl: str, n: int, d: int, inner: int,
                      dtype) -> bool:
@@ -137,16 +142,31 @@ class _PreNormAttention(nn.Module):
             return ln_fp32(v, ln_scale, ln_bias, 1e-5)
 
         if self.is_mutable_collection("intermediates"):
-            from ..ops.attention import attention_with_weights
-
             qkv = _ln(x) @ w_qkv
             b, n, _ = qkv.shape
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(b, n, self.heads, self.dim_head)
             k = k.reshape(b, n, self.heads, self.dim_head)
             v = v.reshape(b, n, self.heads, self.dim_head)
-            out, weights = attention_with_weights(q, k, v)
-            self.sow("intermediates", "attention_weights", weights)
+            if n <= _WEIGHTS_CAPTURE_MAX:
+                from ..ops.attention import attention_with_weights
+
+                out, weights = attention_with_weights(q, k, v)
+                self.sow("intermediates", "attention_weights", weights)
+            else:
+                # Long sequences: materializing [B,H,N,N] weights is
+                # O(N^2) HBM and can't observe the production kernel —
+                # capture the flash kernel's LSE instead; any weight
+                # rows reconstruct in O(rows*N) via
+                # utils.profiling.attention_rows (VERDICT r2 item 7).
+                from ..ops.flash_attention import flash_attention_with_lse
+
+                out, lse = flash_attention_with_lse(
+                    q, k, v, interpret=_FORCE_FUSED
+                )
+                self.sow("intermediates", "attention_lse", lse)
+                self.sow("intermediates", "attention_q", q)
+                self.sow("intermediates", "attention_k", k)
             return x + out.reshape(b, n, inner) @ w_out
 
         b, n, d = x.shape

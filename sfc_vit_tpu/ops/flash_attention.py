@@ -49,7 +49,10 @@ from .attention import dot_product_attention_xla
 from .kernel_utils import LANES as _LANES, NEG_INF as _NEG_INF, \
     lane_bcast as _lane_bcast, round_up as _round_up
 
-__all__ = ["flash_attention", "packed_flash_attention"]
+__all__ = [
+    "flash_attention", "packed_flash_attention",
+    "flash_attention_with_lse",
+]
 # Above this padded length the full-KV fused backward would not fit the
 # 16 MB scoped VMEM (measured on v5e: block_q=512 at N=4096 needs 25.8 MB
 # — logits-sized fp32 temporaries + full dK/dV blocks); switch to the
@@ -685,6 +688,59 @@ def _fa_bwd(scale, block_q, block_k, block_h, interpret, res, g):
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+    chunk: int = 512,
+):
+    """Attention output PLUS the per-query log-sum-exp: the kernel-stats
+    observability path (round 3, VERDICT item 7).
+
+    Returns ``(out [B,N,H,Dh], lse [B,H,Nq])``.  With q, k and the LSE,
+    any subset of attention-weight rows reconstructs in O(|rows| * N)
+    (:func:`sfc_vit_tpu.utils.profiling.attention_rows`) — no [N, N]
+    weights tensor is ever materialized, so the capture can observe the
+    production flash kernel at 4k+ tokens where the XLA recompute
+    (``attention_with_weights``) would blow HBM.
+
+    On TPU (or under ``interpret``) the LSE comes from the flash
+    forward kernel itself; elsewhere a chunked XLA logsumexp streams
+    q-blocks of ``chunk`` rows (O(N^2) compute, O(chunk*N) memory).
+    """
+    b, nq, h, dh = q.shape
+    s = dh ** -0.5 if scale is None else scale
+    if jax.default_backend() == "tpu" or interpret:
+        bq = _auto_block_q(nq)
+        out, lse = _flash_fwd(q, k, v, s, block_q=bq, return_lse=True,
+                              interpret=interpret)
+        lse = lse[:, :nq, 0].reshape(b, h, nq)
+        return out, lse
+    from .attention import dot_product_attention_xla
+
+    out = dot_product_attention_xla(q, k, v, scale=s)
+    qb = q.transpose(0, 2, 1, 3).astype(jnp.float32)  # [B,H,N,dh]
+    kb = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+    n_pad = _round_up(nq, chunk)
+    if n_pad != nq:
+        qb = jnp.pad(qb, ((0, 0), (0, 0), (0, n_pad - nq), (0, 0)))
+    qc = qb.reshape(b, h, n_pad // chunk, chunk, dh)
+    qc = jnp.moveaxis(qc, 2, 0)  # [C, B, H, chunk, dh]
+
+    def one(qx):
+        sc = jnp.einsum(
+            "bhcd,bhnd->bhcn", qx, kb,
+            preferred_element_type=jnp.float32,
+        ) * s
+        return jax.scipy.special.logsumexp(sc, axis=-1)
+
+    lse = jax.lax.map(one, qc)  # [C, B, H, chunk]
+    lse = jnp.moveaxis(lse, 0, 2).reshape(b, h, n_pad)[:, :, :nq]
+    return out, lse
 
 
 # ---------------------------------------------------------------------------

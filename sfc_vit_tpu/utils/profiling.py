@@ -16,7 +16,7 @@ from typing import Any, Dict
 
 import jax
 
-__all__ = ["trace", "annotate", "attention_maps"]
+__all__ = ["trace", "annotate", "attention_maps", "attention_rows"]
 
 
 @contextlib.contextmanager
@@ -58,10 +58,54 @@ def attention_maps(
     flat = jax.tree_util.tree_flatten_with_path(
         state.get("intermediates", {})
     )[0]
+    stats: Dict[str, Dict[str, Any]] = {}
     for path, leaf in flat:
         name = "/".join(
             getattr(p, "key", str(p)) for p in path
         )
         if "attention_weights" in name:
             maps[name] = leaf
-    return {"logits": logits, "attention": maps}
+        else:
+            # long-sequence kernel-stats capture: attention_lse/q/k
+            # sown per module (see models/simple_vit._PreNormAttention)
+            for part in ("attention_lse", "attention_q", "attention_k"):
+                if part in name:
+                    prefix = name.split("/" + part)[0]
+                    stats.setdefault(prefix, {})[
+                        part.removeprefix("attention_")
+                    ] = leaf
+    out = {"logits": logits, "attention": maps}
+    if stats:
+        out["attention_stats"] = stats
+    return out
+
+
+def attention_rows(q, k, lse, queries, scale=None):
+    """Reconstruct selected attention-weight ROWS from kernel stats.
+
+    Args:
+        q, k: ``[B, N, H, Dh]`` (as sown by the capture path; a tuple
+            from flax ``sow`` is unwrapped).
+        lse: ``[B, H, N]`` per-query log-sum-exp from the flash kernel.
+        queries: int index array ``[R]`` — which query rows to build.
+
+    Returns:
+        ``[B, H, R, N]`` rows of the softmax attention matrix — exactly
+        ``softmax(q k^T * scale)[queries]`` but in O(R * N) instead of
+        O(N^2) memory, and numerically anchored to the production
+        kernel's own LSE (so it observes what the kernel computed, not
+        an XLA recompute).
+    """
+    import jax.numpy as jnp
+
+    unwrap = lambda a: a[0] if isinstance(a, (tuple, list)) else a
+    q, k, lse = unwrap(q), unwrap(k), unwrap(lse)
+    dh = q.shape[-1]
+    s = dh ** -0.5 if scale is None else scale
+    queries = jnp.asarray(queries)
+    qs = q[:, queries].astype(jnp.float32)          # [B, R, H, Dh]
+    logits = jnp.einsum(
+        "brhd,bnhd->bhrn", qs, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * s
+    return jnp.exp(logits - lse[:, :, queries][..., None])

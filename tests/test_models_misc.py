@@ -165,3 +165,73 @@ def test_merge_layers_in_transformer():
     p = t.init(jax.random.key(0), x)["params"]
     y = t.apply({"params": p}, x)
     assert y.shape == (2, 24, 32)  # 32 - 16*0.5 = 24 tokens
+
+
+# ------- kernel-stats attention capture (round 3: VERDICT item 7) -------
+
+
+def test_attention_rows_match_full_weights(monkeypatch):
+    """Force the LSE capture at small N: reconstructed rows == the full
+    attention_with_weights matrix rows (the two paths must agree where
+    both exist)."""
+    from sfc_vit_tpu.models import SimpleViT
+    from sfc_vit_tpu.models import simple_vit as sv
+    from sfc_vit_tpu.utils.profiling import attention_maps, attention_rows
+
+    kw = dict(image_size=32, patch_size=4, num_classes=10, dim=64,
+              depth=1, heads=2, mlp_dim=128, dim_head=32)
+    m = SimpleViT(**kw)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+        jnp.float32,
+    )
+    variables = m.init({"params": jax.random.key(0)}, x)
+
+    ref = attention_maps(m, variables, x)
+    (wname, weights), = ref["attention"].items()
+    weights = weights[0] if isinstance(weights, (tuple, list)) else weights
+
+    monkeypatch.setattr(sv, "_WEIGHTS_CAPTURE_MAX", 8)  # force LSE path
+    got = attention_maps(m, variables, x)
+    assert not got["attention"] and "attention_stats" in got
+    (prefix, st), = got["attention_stats"].items()
+    assert set(st) == {"lse", "q", "k"}
+
+    queries = np.asarray([0, 3, 17, 63])
+    rows = attention_rows(st["q"], st["k"], st["lse"], queries)
+    assert rows.shape == (2, 2, 4, 64)
+    np.testing.assert_allclose(
+        np.asarray(rows), np.asarray(weights)[:, :, queries],
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rows.sum(-1)), 1.0, rtol=1e-5
+    )
+    # logits unchanged by the capture mode
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), np.asarray(ref["logits"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_attention_capture_4k_tokens():
+    """The point of the LSE path: capture at 4096 tokens without a
+    [B,H,N,N] weights tensor (128 MB/head-batch it never allocates)."""
+    from sfc_vit_tpu.models import CurveViT
+    from sfc_vit_tpu.utils.profiling import attention_maps, attention_rows
+
+    m = CurveViT(curve="hilbert", image_size=256, patch_size=4,
+                 num_classes=10, dim=32, depth=1, heads=2, mlp_dim=64,
+                 dim_head=16)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 256, 256, 3)),
+        jnp.float32,
+    )
+    variables = m.init({"params": jax.random.key(0)}, x)
+    got = attention_maps(m, variables, x)
+    (prefix, st), = got["attention_stats"].items()
+    lse = st["lse"][0] if isinstance(st["lse"], (tuple, list)) else st["lse"]
+    assert lse.shape == (1, 2, 4096)
+    rows = attention_rows(st["q"], st["k"], st["lse"], np.asarray([0, 4095]))
+    assert rows.shape == (1, 2, 2, 4096)
+    np.testing.assert_allclose(np.asarray(rows.sum(-1)), 1.0, rtol=1e-4)
