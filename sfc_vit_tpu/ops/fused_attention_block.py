@@ -380,15 +380,12 @@ def _attn_block_bwd_kernel(
     dx_ref[...] = (gf + dxf).reshape(bb, n_pad, d).astype(dx_ref.dtype)
 
 
-def attn_block_bwd_fits(
-    n: int, d: int, inner: int, itemsize: int, block_b: int = 4
-) -> bool:
-    """VMEM gate for the backward kernel: fwd-kernel footprint + the
+def _bwd_footprint(
+    n_pad: int, d: int, inner: int, itemsize: int, block_b: int
+) -> int:
+    """VMEM estimate for the backward kernel: fwd-kernel footprint + the
     fp32 dW accumulators, the extra datt/dqkv/att scratches, and the
     fp32 row values (xhat, dxn) the LN backward keeps live."""
-    n_pad = _round_up(n, 16)
-    if n > 1024:
-        return False
     rows = block_b * n_pad
     weights = (d * 3 * inner + inner * d) * itemsize
     accums = (d * 3 * inner + inner * d) * 4 + 2 * d * 4
@@ -396,8 +393,19 @@ def attn_block_bwd_fits(
     scratch = rows * (2 * 3 * inner + 2 * inner) * itemsize
     logits = 4 * n_pad * _round_up(n_pad, 128) * 4  # s/p/dpn/ds fp32
     row_f32 = 4 * rows * d * 4  # xhat, dxn, dxh, dxf
-    return (weights + accums + tiles + scratch + logits + row_f32
-            <= 0.6 * _VMEM_LIMIT)
+    return weights + accums + tiles + scratch + logits + row_f32
+
+
+def attn_block_bwd_fits(
+    n: int, d: int, inner: int, itemsize: int, block_b: int = 1
+) -> bool:
+    """True when the backward kernel can run at ANY block_b (the call
+    auto-shrinks from 8; this gates the train rule)."""
+    if n > 1024:
+        return False
+    n_pad = _round_up(n, 16)
+    return (_bwd_footprint(n_pad, d, inner, itemsize, block_b)
+            <= 0.75 * _VMEM_LIMIT)
 
 
 @functools.partial(
@@ -409,7 +417,7 @@ def attn_block_bwd_fits(
 def _fused_attn_block_bwd(
     x, g, ln_scale, ln_bias, w_qkv, w_out,
     heads: int, scale: float, eps: float,
-    block_b: int = 4, interpret: bool = False,
+    block_b: Optional[int] = None, interpret: bool = False,
     n_actual: Optional[int] = None,
 ):
     b, n, d = x.shape
@@ -422,6 +430,17 @@ def _fused_attn_block_bwd(
         pad = ((0, 0), (0, n_pad - n), (0, 0))
         x = jnp.pad(x, pad)
         g = jnp.pad(g, pad)
+    if block_b is None:
+        # Largest grid block that divides the batch and fits VMEM —
+        # measured on v5e at ViT-B shapes: 8 beats 4 by ~5.5% and 2 by
+        # ~18% (results/r3_bwd_tuning.json).
+        block_b = 8
+        while block_b > 1 and (
+            b % block_b
+            or _bwd_footprint(n_pad, d, inner, x.dtype.itemsize, block_b)
+            > 0.75 * _VMEM_LIMIT
+        ):
+            block_b //= 2
     while b % block_b != 0:
         block_b //= 2
     rows = block_b * n_pad
