@@ -86,7 +86,7 @@ _VMEM_LIMIT = 100 * 2 ** 20
 def _attn_block_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref, o_ref, qkv_s, att_s,
     *, heads: int, dh: int, scale: float, eps: float,
-    n_pad: int, n_actual: int,
+    n_pad: int, n_actual: int, softmax_impl: str = "fp32",
 ):
     bb = x_ref.shape[0]
     d = x_ref.shape[2]
@@ -144,10 +144,19 @@ def _attn_block_kernel(
             if masked:
                 s = jnp.where(col < n_actual, s, _NEG_INF)
             m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
+            if softmax_impl == "bf16exp":
+                # opt-in A/B variant (scripts/r3_attn_fwd_variants.py):
+                # exp on bf16 halves the VPU transcendental time; the
+                # normalizer still accumulates in fp32.
+                p = jnp.exp((s - m).astype(jnp.bfloat16))
+                l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+                pn = (p.astype(jnp.float32) / l).astype(v.dtype)
+            else:
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=1, keepdims=True)
+                pn = (p / l).astype(v.dtype)
             out = jax.lax.dot_general(
-                (p / l).astype(v.dtype), v,
+                pn, v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -181,14 +190,15 @@ def fused_attention_block_fits(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "heads", "scale", "eps", "block_b", "interpret", "n_actual"
+        "heads", "scale", "eps", "block_b", "interpret", "n_actual",
+        "softmax_impl",
     ),
 )
 def _fused_attn_block(
     x, ln_scale, ln_bias, w_qkv, w_out,
     heads: int, scale: float, eps: float,
     block_b: int = 4, interpret: bool = False,
-    n_actual: Optional[int] = None,
+    n_actual: Optional[int] = None, softmax_impl: str = "fp32",
 ):
     b, n, d = x.shape
     inner3 = w_qkv.shape[1]
@@ -207,6 +217,7 @@ def _fused_attn_block(
         functools.partial(
             _attn_block_kernel, heads=heads, dh=dh, scale=scale,
             eps=eps, n_pad=n_pad, n_actual=real,
+            softmax_impl=softmax_impl,
         ),
         grid=(b // block_b,),
         in_specs=[

@@ -391,3 +391,18 @@ def test_remat_pad_once_fused_grads(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+def test_bf16exp_softmax_variant_close_to_fp32():
+    """Opt-in bf16-exp softmax (fwd squeeze A/B candidate): output
+    stays within bf16 tolerance of the fp32-softmax kernel."""
+    from sfc_vit_tpu.ops.fused_attention_block import _fused_attn_block
+
+    args, heads = _inputs(b=2, n=100, dtype=jnp.bfloat16)
+    kw = dict(heads=heads, scale=64 ** -0.5, eps=1e-5, interpret=True)
+    ref = _fused_attn_block(*args, **kw)
+    got = _fused_attn_block(*args, softmax_impl="bf16exp", **kw)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
