@@ -1,16 +1,24 @@
 """Host -> device input pipeline with background prefetch.
 
 The reference leans on 16 DataLoader worker processes plus a blocking
-H2D copy every step (``main.py:227-230``, ``train.py:144-145``).  Here a
-single background thread stages the next batches onto the device (with
-the batch sharding when a mesh is given) while the current step runs --
-the JAX-idiomatic double-buffering that keeps the TPU fed.
+H2D copy every step (``main.py:227-230``, ``train.py:144-145``).  Here:
+
+* a background thread stages the next batches onto the device (with
+  the batch sharding when a mesh is given) while the current step runs
+  -- the JAX-idiomatic double-buffering that keeps the TPU fed;
+* ``workers > 1`` additionally runs the host-side ``transform`` on a
+  bounded, order-preserving thread pool (the 16-worker DataLoader
+  equivalent for CPU-bound transforms; numpy releases the GIL for the
+  slicing/augment work that dominates).  Memory stays bounded at
+  ``size + workers`` in-flight batches.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator, Optional
 
 import jax
@@ -22,11 +30,34 @@ __all__ = ["prefetch_to_device"]
 _SENTINEL = object()
 
 
+def _bounded_ordered_map(fn: Callable, it: Iterable, pool, ahead: int):
+    """``map(fn, it)`` on a pool, yielding IN ORDER with at most
+    ``ahead`` batches in flight (Executor.map would drain the whole
+    iterable eagerly)."""
+    futs: deque = deque()
+    src = iter(it)
+
+    def refill():
+        nonlocal src
+        while src is not None and len(futs) < ahead:
+            try:
+                futs.append(pool.submit(fn, next(src)))
+            except StopIteration:
+                src = None
+
+    refill()
+    while futs:
+        f = futs.popleft()
+        refill()
+        yield f.result()
+
+
 def prefetch_to_device(
     batches: Iterable,
     size: int = 2,
     mesh=None,
     transform: Optional[Callable] = None,
+    workers: int = 1,
 ) -> Iterator:
     """Yield device-resident batches, staged ``size`` ahead on a thread.
 
@@ -35,29 +66,41 @@ def prefetch_to_device(
         size: prefetch depth (2 = classic double buffering).
         mesh: optional mesh; the leading axis is sharded over "data".
         transform: optional host-side fn applied before the device put.
+        workers: thread-pool width for ``transform`` (order-preserving;
+            1 = transform inline on the stager thread, the round-2
+            behavior).
     """
     sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def stage(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding), batch
+            )
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
     q: "queue.Queue" = queue.Queue(maxsize=size)
     err: list = []
 
-    def put(batch):
-        if transform is not None:
-            batch = transform(batch)
-        if sharding is not None:
-            batch = jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, sharding), batch
-            )
-        else:
-            batch = jax.tree_util.tree_map(jax.device_put, batch)
-        return batch
-
     def worker():
+        pool = None
         try:
-            for b in batches:
-                q.put(put(b))
+            if workers > 1 and transform is not None:
+                pool = ThreadPoolExecutor(workers)
+                stream: Iterable = _bounded_ordered_map(
+                    transform, batches, pool, size + workers
+                )
+            elif transform is not None:
+                stream = (transform(b) for b in batches)
+            else:
+                stream = batches
+            for b in stream:
+                q.put(stage(b))
         except Exception as e:  # surface pipeline errors to the consumer
             err.append(e)
         finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
             q.put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)

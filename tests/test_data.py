@@ -207,3 +207,44 @@ def test_load_image_folder_fixture(tmp_path):
 
     only_dog = filter_by_class(ds, [1])
     assert len(only_dog) == 2 and only_dog.labels.tolist() == [0, 0]
+
+
+def test_prefetch_multiworker_transform_order_and_parity():
+    """workers>1 runs the host transform on a bounded pool but MUST
+    preserve batch order and values (the 16-worker DataLoader
+    equivalent, round 3)."""
+    import time
+
+    from sfc_vit_tpu.data.pipeline import prefetch_to_device
+
+    batches = [
+        (np.full((4, 2, 2, 3), i, np.float32), np.full((4,), i, np.int32))
+        for i in range(12)
+    ]
+
+    def slow_tf(b):
+        time.sleep(0.01 * (12 - int(b[1][0])))  # later batches faster
+        return (b[0] * 2.0, b[1])
+
+    got = list(prefetch_to_device(iter(batches), size=2,
+                                  transform=slow_tf, workers=4))
+    assert [int(y[0]) for _, y in got] == list(range(12))
+    assert float(got[3][0][0, 0, 0, 0]) == 6.0  # transform applied
+
+
+def test_prefetch_multiworker_propagates_errors():
+    from sfc_vit_tpu.data.pipeline import prefetch_to_device
+
+    def bad_tf(b):
+        if int(b[1][0]) == 2:
+            raise RuntimeError("transform boom")
+        return b
+
+    batches = [
+        (np.zeros((2, 2, 2, 3), np.float32), np.full((2,), i, np.int32))
+        for i in range(5)
+    ]
+    it = prefetch_to_device(iter(batches), size=1, transform=bad_tf,
+                            workers=3)
+    with pytest.raises(RuntimeError, match="transform boom"):
+        list(it)
