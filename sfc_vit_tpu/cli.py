@@ -211,13 +211,18 @@ def main(argv=None) -> dict:
                 x = aug(jax.random.fold_in(aug_key, epoch * 100003 + count), xb)
             else:
                 x = eval_tf(xb)
-            yield np.asarray(x), yb
+            # x stays ON DEVICE: np.asarray here would fetch the whole
+            # augmented batch back to the host only for the train step
+            # to re-upload it — on the remote-tunnel TPU that readback
+            # round-trip dominated the host pipeline (round 3 fix).
+            # Trainer.shard_batch device_puts are no-ops / D2D.
+            yield x, yb
 
     def eval_data():
         for xb, yb in epoch_batches(
             test_ds, args.batch_size, shuffle=False, drop_last=False
         ):
-            yield np.asarray(eval_tf(xb)), yb
+            yield eval_tf(xb), yb
 
     result = trainer.fit(train_epoch_data, eval_data)
     print(
