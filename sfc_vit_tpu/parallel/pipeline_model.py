@@ -193,11 +193,18 @@ def make_pipelined_apply(
                 f"batch {b} not divisible by {microbatches} microbatches"
             )
         mb = b // microbatches
+        bshard = (batch_axis if batch_axis
+                  and mesh.shape.get(batch_axis, 1) > 1 else None)
+        if bshard and mb % mesh.shape[bshard] != 0:
+            raise ValueError(
+                f"microbatch size {mb} (batch {b} / {microbatches} "
+                f"microbatches) not divisible by the {bshard!r} mesh "
+                f"axis ({mesh.shape[bshard]}); lower the microbatch "
+                "count or the data-parallel degree"
+            )
         xs = tokens.reshape(microbatches, mb, n, d)
         ys = pipeline_apply(
-            mesh, stage_fn, stages, xs, axis=axis,
-            batch_axis=batch_axis if batch_axis
-            and mesh.shape.get(batch_axis, 1) > 1 else None,
+            mesh, stage_fn, stages, xs, axis=axis, batch_axis=bshard,
         )
         return _head(model, outer, ys.reshape(b, n, d))
 

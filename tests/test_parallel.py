@@ -468,3 +468,35 @@ def test_pipelined_apply_rejects_bad_configs():
             TransformerSeqEncoder(dim=32, n_heads=2, hidden_dim=64),
             mesh, 4, microbatches=2,
         )
+
+
+@pytest.mark.parametrize("microbatches", [1, 2, 8])
+def test_pipelined_apply_microbatch_sweep(microbatches):
+    """Bubble fraction changes with M; results must not (GPipe
+    schedule correctness across microbatch counts)."""
+    from sfc_vit_tpu.parallel import (
+        make_mesh,
+        make_pipelined_apply,
+        split_pipeline_params,
+    )
+
+    m = _pp_curvevit()
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((16, 32, 32, 3)),
+        jnp.float32,
+    )
+    p = m.init({"params": jax.random.key(0)}, x)["params"]
+    ref = m.apply({"params": p}, x)
+    mesh = make_mesh(data=2, pipe=4)
+    pp = split_pipeline_params(p, 4, 4)
+    ap = make_pipelined_apply(m, mesh, 4, microbatches=microbatches)
+    out = ap({"params": pp}, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    # microbatch too small to shard over 'data' -> clear error
+    if microbatches == 8:
+        bad = make_pipelined_apply(m, mesh, 4, microbatches=16)
+        with pytest.raises(ValueError, match="not divisible"):
+            bad({"params": pp}, x)
