@@ -77,6 +77,26 @@ def main():
             print(f"{sm:8s} block_b={bb:3d}  {ms:7.2f} ms  "
                   f"(err {err:.2e})", flush=True)
 
+    # ---- backward: softmax-recompute fp32 vs bf16exp, bs 64 & 256 ----
+    # bs64 profile: attn bwd at ~55% of the GEMM roofline with the
+    # fp32-softmax recompute VPU time the prime suspect.
+    from sfc_vit_tpu.ops.fused_attention_block import (
+        _fused_attn_block_bwd,
+    )
+
+    for bb in (64, 256):
+        xb = x[:bb]
+        gb = mk(bb, n, d)
+        for sm in ("fp32", "bf16exp"):
+            ms = _time(lambda c, _sm=sm: sum(
+                a.astype(jnp.float32).sum() for a in _fused_attn_block_bwd(
+                    xb + (c * 1e-24).astype(x.dtype), gb, lns, lnb,
+                    wq, wo, softmax_impl=_sm, **kw
+                )
+            ) * 1e-12)
+            out[f"bwd_{sm}_bs{bb}"] = {"ms": ms}
+            print(f"bwd {sm:8s} bs={bb:3d}  {ms:7.2f} ms", flush=True)
+
     with open("results/r3_attn_fwd_variants.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)

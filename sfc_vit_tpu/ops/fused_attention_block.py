@@ -262,7 +262,7 @@ def _attn_block_bwd_kernel(
     dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
     qkv_s, datt_s, att_s, dqkv_s,
     *, heads: int, dh: int, scale: float, eps: float,
-    n_pad: int, n_actual: int,
+    n_pad: int, n_actual: int, softmax_impl: str = "fp32",
 ):
     """One image-group tile of the attention-block backward.
 
@@ -336,9 +336,14 @@ def _attn_block_bwd_kernel(
             if masked:
                 s = jnp.where(col < n_actual, s, _NEG_INF)
             m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            pn = (p / l).astype(v.dtype)  # the fwd GEMM operand
+            if softmax_impl == "bf16exp":
+                p = jnp.exp((s - m).astype(jnp.bfloat16))
+                l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+                pn = (p.astype(jnp.float32) / l).astype(v.dtype)
+            else:
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=1, keepdims=True)
+                pn = (p / l).astype(v.dtype)  # the fwd GEMM operand
             att_s[rsl, h * dh : (h + 1) * dh] = jax.lax.dot_general(
                 pn, v, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -422,14 +427,15 @@ def attn_block_bwd_fits(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "heads", "scale", "eps", "block_b", "interpret", "n_actual"
+        "heads", "scale", "eps", "block_b", "interpret", "n_actual",
+        "softmax_impl",
     ),
 )
 def _fused_attn_block_bwd(
     x, g, ln_scale, ln_bias, w_qkv, w_out,
     heads: int, scale: float, eps: float,
     block_b: Optional[int] = None, interpret: bool = False,
-    n_actual: Optional[int] = None,
+    n_actual: Optional[int] = None, softmax_impl: str = "fp32",
 ):
     b, n, d = x.shape
     inner3 = w_qkv.shape[1]
@@ -466,6 +472,7 @@ def _fused_attn_block_bwd(
         functools.partial(
             _attn_block_bwd_kernel, heads=heads, dh=dh, scale=scale,
             eps=eps, n_pad=n_pad, n_actual=real,
+            softmax_impl=softmax_impl,
         ),
         grid=(b // block_b,),
         in_specs=[

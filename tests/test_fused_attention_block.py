@@ -406,3 +406,23 @@ def test_bf16exp_softmax_variant_close_to_fp32():
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_bwd_bf16exp_recompute_grads_close():
+    """bf16exp softmax-recompute in the backward: grads stay within
+    bf16 training tolerance of the fp32-recompute backward."""
+    from sfc_vit_tpu.ops.fused_attention_block import _fused_attn_block_bwd
+
+    args, heads = _inputs(b=2, n=64, dtype=jnp.bfloat16)
+    x = args[0].astype(jnp.bfloat16)
+    rng = np.random.default_rng(9)
+    g = jnp.asarray(rng.standard_normal(x.shape), jnp.bfloat16)
+    rest = tuple(a.astype(jnp.bfloat16) for a in args[1:])
+    kw = dict(heads=heads, scale=64 ** -0.5, eps=1e-5, interpret=True)
+    ref = _fused_attn_block_bwd(x, g, *rest, **kw)
+    got = _fused_attn_block_bwd(x, g, *rest, softmax_impl="bf16exp", **kw)
+    for a, b in zip(got, ref):
+        af = np.asarray(a, np.float32).ravel()
+        bf = np.asarray(b, np.float32).ravel()
+        rel = np.linalg.norm(af - bf) / (np.linalg.norm(bf) + 1e-9)
+        assert rel < 2e-2, rel
