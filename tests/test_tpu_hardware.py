@@ -234,3 +234,37 @@ def test_postnorm_tail_kernel_on_chip():
         np.float32,
     )
     assert np.abs(fused - ref).max() < 2e-3, np.abs(fused - ref).max()
+
+
+def test_pallas_train_backwards_on_chip():
+    """Round 3: gradients through the fused-block Pallas BACKWARD
+    kernels (Mosaic-compiled on the chip) match the unfused XLA
+    composition's gradients through the whole pad-once model."""
+    from sfc_vit_tpu.models import SimpleViT
+    from sfc_vit_tpu.models import simple_vit as sv
+
+    kw = dict(image_size=56, patch_size=4, num_classes=11, dim=128,
+              depth=2, heads=2, mlp_dim=256, dim_head=64)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((8, 56, 56, 3)), jnp.float32)
+    m = SimpleViT(**kw)
+    params = m.init({"params": jax.random.key(0)}, x)["params"]
+
+    def loss(mod):
+        return lambda p: jnp.sum(mod.apply({"params": p}, x) ** 2) * 1e-6
+
+    old = sv._TRAIN_IMPL
+    try:
+        sv._TRAIN_IMPL = "pallas"
+        g_pallas = jax.grad(loss(m))(params)
+    finally:
+        sv._TRAIN_IMPL = old
+    g_ref = jax.grad(loss(SimpleViT(attn_impl="xla", **kw)))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_pallas),
+        jax.tree_util.tree_leaves(g_ref),
+    ):
+        af = np.asarray(a, np.float32).ravel()
+        bf = np.asarray(b, np.float32).ravel()
+        rel = np.linalg.norm(af - bf) / (np.linalg.norm(bf) + 1e-9)
+        assert rel < 1e-3, rel
