@@ -500,3 +500,32 @@ def test_pipelined_apply_microbatch_sweep(microbatches):
         bad = make_pipelined_apply(m, mesh, 4, microbatches=16)
         with pytest.raises(ValueError, match="not divisible"):
             bad({"params": pp}, x)
+
+
+def test_trainer_pipeline_checkpoint_resume(tmp_path):
+    """Orbax save/restore round-trips the pipelined (stacked-stage)
+    TrainState layout; resume continues from the saved step."""
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    m = _pp_curvevit()
+    cfg = TrainConfig(
+        num_classes=10, epochs=2, warmup_epochs=0, use_mixing=False,
+        data_parallel=2, pipeline_parallel=4, pipeline_microbatches=2,
+        workdir=str(tmp_path),
+    )
+    rng = np.random.default_rng(1)
+    xs = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    ys = (np.arange(8) % 10).astype(np.int32)
+    batches = lambda: iter([(xs, ys)])
+    tr = Trainer(m, cfg, steps_per_epoch=1,
+                 sample_input=np.zeros((2, 32, 32, 3), np.float32))
+    tr.fit(batches, batches, epochs=1)
+
+    tr2 = Trainer(m, cfg, steps_per_epoch=1,
+                  sample_input=np.zeros((2, 32, 32, 3), np.float32))
+    assert tr2.maybe_resume()
+    assert int(tr2.state.step) == 1
+    a = jax.tree_util.tree_leaves(tr.state.params["stages"])[0]
+    b = jax.tree_util.tree_leaves(tr2.state.params["stages"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                               atol=0)
