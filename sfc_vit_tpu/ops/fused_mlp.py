@@ -103,7 +103,7 @@ def _dact(z, activation: str):
 
 def _mlp_kernel(
     x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-    *, eps: float, activation: str, residual: bool,
+    *z_out, eps: float, activation: str, residual: bool,
 ):
     x = x_ref[...]  # (BR, D) input dtype
     xf = x.astype(jnp.float32)
@@ -126,6 +126,8 @@ def _mlp_kernel(
         preferred_element_type=jnp.float32,
     )
     h = h + b1_ref[...].astype(jnp.float32)
+    if z_out:  # training fwd: save pre-activation for the 4-GEMM bwd
+        z_out[0][...] = h.astype(z_out[0].dtype)
     # fc1 output stays fp32 through the activation (the unfused graph
     # rounds it to bf16 first; skipping that round-trip is strictly
     # tighter numerics and measured -0.4 ms/layer, /tmp decomposition
@@ -163,12 +165,12 @@ def fused_mlp_fits(
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "activation", "residual", "block_r",
-                     "interpret"),
+                     "interpret", "save_z"),
 )
 def _fused_mlp(
     x, ln_scale, ln_bias, w1, b1, w2, b2,
     eps: float, activation: str, residual: bool,
-    block_r: int = 256, interpret: bool = False,
+    block_r: int = 256, interpret: bool = False, save_z: bool = False,
 ):
     b, n, d = x.shape
     f = w1.shape[1]
@@ -179,15 +181,24 @@ def _fused_mlp(
         xr = jnp.pad(xr, ((0, r_pad - r), (0, 0)))
     row2 = lambda a: a.reshape(1, -1)  # (1, D)/(1, F) lane vectors
 
-    out = pl.pallas_call(
+    rowspec = pl.BlockSpec((block_r, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    zspec = pl.BlockSpec((block_r, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out_specs = (rowspec, zspec) if save_z else rowspec
+    out_shape = (
+        (jax.ShapeDtypeStruct((r_pad, d), x.dtype),
+         jax.ShapeDtypeStruct((r_pad, f), x.dtype))
+        if save_z else jax.ShapeDtypeStruct((r_pad, d), x.dtype)
+    )
+    res = pl.pallas_call(
         functools.partial(
             _mlp_kernel, eps=eps, activation=activation,
             residual=residual,
         ),
         grid=(r_pad // block_r,),
         in_specs=[
-            pl.BlockSpec((block_r, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            rowspec,
             pl.BlockSpec((1, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0),
@@ -201,12 +212,12 @@ def _fused_mlp(
             pl.BlockSpec((1, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_r, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r_pad, d), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * r_pad * d * f,
-            bytes_accessed=(2 * r_pad * d + 2 * d * f) * x.dtype.itemsize,
+            bytes_accessed=(2 * r_pad * d + 2 * d * f) * x.dtype.itemsize
+            + (r_pad * f * x.dtype.itemsize if save_z else 0),
             transcendentals=r_pad * f,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -214,21 +225,35 @@ def _fused_mlp(
         ),
         interpret=interpret,
     )(xr, row2(ln_scale), row2(ln_bias), w1, row2(b1), w2, row2(b2))
-    return out[:r].reshape(b, n, d)
+    if save_z:
+        out, z = res
+        return out[:r].reshape(b, n, d), z[:r].reshape(b, n, f)
+    return res[:r].reshape(b, n, d)
 
 
 def _mlp_bwd_kernel(
     x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-    dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref, dls_ref, dlb_ref,
-    *, eps: float, activation: str, residual: bool,
+    *refs, eps: float, activation: str, residual: bool,
+    with_z: bool = False,
 ):
     """One row-tile of the fused-MLP backward.
 
-    Recomputes LN/fc1/act from the saved block input x (the hidden
-    activation never existed in HBM), then produces dx for this tile
-    and accumulates the parameter grads in fp32 VMEM across the row
-    grid (constant-index output blocks, written back once at the end).
+    Recomputes LN (and, without ``with_z``, the fc1 GEMM) from the
+    saved block input x, then produces dx for this tile and accumulates
+    the parameter grads in fp32 VMEM across the row grid
+    (constant-index output blocks, written back once at the end).
+
+    ``with_z``: the training forward saved the pre-activation z (one
+    extra HBM write there), so this kernel runs 4 GEMMs instead of 5 —
+    measured as the bs-64 train lever (the MLP backward is otherwise AT
+    the GEMM roofline).
     """
+    if with_z:
+        (z_ref, dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref, dls_ref,
+         dlb_ref) = refs
+    else:
+        (dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref, dls_ref,
+         dlb_ref) = refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -255,11 +280,14 @@ def _mlp_bwd_kernel(
     lns = lns_ref[...].astype(jnp.float32)
     xn = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(x.dtype)
 
-    z = jax.lax.dot_general(
-        xn, w1_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[...].astype(jnp.float32)  # fp32, kept through act'
+    if with_z:
+        z = z_ref[...].astype(jnp.float32)
+    else:
+        z = jax.lax.dot_general(
+            xn, w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[...].astype(jnp.float32)  # fp32, kept through act'
     h = _act(z, activation).astype(x.dtype)
 
     # --- backward ---
@@ -305,7 +333,9 @@ def fused_mlp_bwd_fits(
     weights = 2 * d * f * itemsize          # w1 + w2 (const blocks)
     accums = 2 * d * f * 4 + 2 * f * 4 + 4 * d * 4
     tiles = 6 * block_r * d * itemsize      # x + g + dx, double-buffered
-    hidden = 3 * block_r * f * 4 + 2 * block_r * f * itemsize
+    # z streamed in (saved-z 4-GEMM path), double-buffered
+    hidden = (3 * block_r * f * 4
+              + 4 * block_r * f * itemsize)
     row_tmp = 6 * block_r * d * 4           # xhat/xn/dxn/dxh/dxf fp32-ish
     return weights + accums + tiles + hidden + row_tmp <= 0.6 * _VMEM_LIMIT
 
@@ -318,7 +348,7 @@ def fused_mlp_bwd_fits(
 def _fused_mlp_bwd(
     x, g, ln_scale, ln_bias, w1, b1, w2,
     eps: float, activation: str, residual: bool,
-    block_r: int = 256, interpret: bool = False,
+    block_r: int = 256, interpret: bool = False, z=None,
 ):
     b, n, d = x.shape
     f = w1.shape[1]
@@ -337,17 +367,26 @@ def _fused_mlp_bwd(
     const = lambda *shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    operands = [xr, gr, row2(ln_scale), row2(ln_bias), w1, row2(b1), w2]
+    in_specs = [
+        rowspec, rowspec,
+        const(1, d), const(1, d),
+        const(d, f), const(1, f), const(f, d),
+    ]
+    if z is not None:
+        zr = z.reshape(r, f)
+        if r_pad != r:
+            zr = jnp.pad(zr, ((0, r_pad - r), (0, 0)))
+        operands.append(zr)
+        in_specs.append(pl.BlockSpec((block_r, f), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
     dx, dw1, dw2, db1, db2, dls, dlb = pl.pallas_call(
         functools.partial(
             _mlp_bwd_kernel, eps=eps, activation=activation,
-            residual=residual,
+            residual=residual, with_z=z is not None,
         ),
         grid=(r_pad // block_r,),
-        in_specs=[
-            rowspec, rowspec,
-            const(1, d), const(1, d),
-            const(d, f), const(1, f), const(f, d),
-        ],
+        in_specs=in_specs,
         out_specs=(
             rowspec,
             const(d, f), const(f, d),
@@ -363,16 +402,17 @@ def _fused_mlp_bwd(
             jax.ShapeDtypeStruct((1, d), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=10 * r_pad * d * f,  # 5 GEMMs (4 bwd + 1 recompute)
+            flops=(8 if z is not None else 10) * r_pad * d * f,
             bytes_accessed=(3 * r_pad * d + 2 * d * f) * x.dtype.itemsize
-            + 2 * d * f * 4,
+            + 2 * d * f * 4
+            + (r_pad * f * x.dtype.itemsize if z is not None else 0),
             transcendentals=2 * r_pad * f,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(xr, gr, row2(ln_scale), row2(ln_bias), w1, row2(b1), w2)
+    )(*operands)
 
     cast = lambda a, like: a.reshape(like.shape).astype(like.dtype)
     return (
@@ -455,12 +495,12 @@ def _fm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
             eps, activation, residual, interpret, train_impl):
     d, f = w1.shape
     if _mlp_train_pallas(train_impl, d, f, x.dtype.itemsize, interpret):
-        out = _fused_mlp(
+        out, z = _fused_mlp(
             x, ln_scale, ln_bias, w1, b1, w2, b2,
             eps=eps, activation=activation, residual=residual,
-            interpret=interpret,
+            interpret=interpret, save_z=True,
         )
-        return out, (x, ln_scale, ln_bias, w1, b1, w2)
+        return out, (x, ln_scale, ln_bias, w1, b1, w2, z)
     out, vjp = jax.vjp(
         lambda *a: mlp_block_xla(
             *a, eps=eps, activation=activation, residual=residual
@@ -473,11 +513,11 @@ def _fm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
 def _fm_bwd(eps, activation, residual, interpret, train_impl, res, g):
     if callable(res):  # XLA rule: res is the jax.vjp closure
         return res(g)
-    x, ln_scale, ln_bias, w1, b1, w2 = res
+    x, ln_scale, ln_bias, w1, b1, w2, z = res
     dx, dls, dlb, dw1, db1, dw2, db2 = _fused_mlp_bwd(
         x, g, ln_scale, ln_bias, w1, b1, w2,
         eps=eps, activation=activation, residual=residual,
-        interpret=interpret,
+        interpret=interpret, z=z,
     )
     return dx, dls, dlb, dw1, db1, dw2, db2
 
