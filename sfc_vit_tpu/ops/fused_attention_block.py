@@ -82,6 +82,12 @@ __all__ = [
 
 _VMEM_LIMIT = 100 * 2 ** 20
 
+#: In-kernel softmax schedule for BOTH the forward and the backward
+#: recompute: "fp32" (default) or "bf16exp" (exp on bf16, fp32
+#: normalizer — A/B hook, scripts/r3_attn_fwd_variants.py).  TRACING-
+#: TIME switch like models.simple_vit._TRAIN_IMPL: re-jit to toggle.
+_SOFTMAX_IMPL = "fp32"
+
 
 def _attn_block_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref, o_ref, qkv_s, att_s,
@@ -610,7 +616,7 @@ def fused_attention_block(
     return _fused_attn_block(
         x, ln_scale, ln_bias, w_qkv, w_out,
         heads=heads, scale=s, eps=eps, interpret=interpret,
-        n_actual=n_actual,
+        n_actual=n_actual, softmax_impl=_SOFTMAX_IMPL,
     )
 
 
@@ -655,7 +661,7 @@ def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
         out = _fused_attn_block(
             x, ln_scale, ln_bias, w_qkv, w_out,
             heads=heads, scale=s, eps=eps, interpret=interpret,
-            n_actual=n_actual,
+            n_actual=n_actual, softmax_impl=_SOFTMAX_IMPL,
         )
         return out, (x, ln_scale, ln_bias, w_qkv, w_out)
     out, vjp = jax.vjp(
@@ -677,7 +683,7 @@ def _fab_bwd(heads, scale, eps, interpret, n_actual, train_impl, res, g):
     return _fused_attn_block_bwd(
         x, g, ln_scale, ln_bias, w_qkv, w_out,
         heads=heads, scale=s, eps=eps, interpret=interpret,
-        n_actual=n_actual,
+        n_actual=n_actual, softmax_impl=_SOFTMAX_IMPL,
     )
 
 
