@@ -90,10 +90,17 @@ _SOFTMAX_IMPL = "fp32"
 
 
 def _attn_block_kernel(
-    x_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref, o_ref, qkv_s, att_s,
-    *, heads: int, dh: int, scale: float, eps: float,
+    x_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref, o_ref, *rest,
+    heads: int, dh: int, scale: float, eps: float,
     n_pad: int, n_actual: int, softmax_impl: str = "fp32",
+    save_acts: bool = False,
 ):
+    if save_acts:
+        # training fwd: persist the QKV projection + per-head attention
+        # outputs so the backward skips their recompute GEMMs
+        qkv_out, att_out, qkv_s, att_s = rest
+    else:
+        qkv_s, att_s = rest
     bb = x_ref.shape[0]
     d = x_ref.shape[2]
     inner = heads * dh
@@ -174,6 +181,9 @@ def _attn_block_kernel(
         preferred_element_type=jnp.float32,
     )
     o_ref[...] = (y + xf).reshape(bb, n_pad, d).astype(o_ref.dtype)
+    if save_acts:
+        qkv_out[...] = qkv_s[...].reshape(bb, n_pad, 3 * inner)
+        att_out[...] = att_s[...].reshape(bb, n_pad, inner)
 
 
 def fused_attention_block_fits(
@@ -197,7 +207,7 @@ def fused_attention_block_fits(
     jax.jit,
     static_argnames=(
         "heads", "scale", "eps", "block_b", "interpret", "n_actual",
-        "softmax_impl",
+        "softmax_impl", "save_acts",
     ),
 )
 def _fused_attn_block(
@@ -205,6 +215,7 @@ def _fused_attn_block(
     heads: int, scale: float, eps: float,
     block_b: int = 4, interpret: bool = False,
     n_actual: Optional[int] = None, softmax_impl: str = "fp32",
+    save_acts: bool = False,
 ):
     b, n, d = x.shape
     inner3 = w_qkv.shape[1]
@@ -219,16 +230,27 @@ def _fused_attn_block(
     rows = block_b * n_pad
     row2 = lambda a: a.reshape(1, -1)
 
+    tile = lambda w: pl.BlockSpec((block_b, n_pad, w),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    out_specs = tile(d)
+    out_shape = jax.ShapeDtypeStruct((b, n_pad, d), x.dtype)
+    if save_acts:
+        out_specs = (out_specs, tile(inner3), tile(inner))
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((b, n_pad, inner3), x.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, inner), x.dtype),
+        )
     out = pl.pallas_call(
         functools.partial(
             _attn_block_kernel, heads=heads, dh=dh, scale=scale,
             eps=eps, n_pad=n_pad, n_actual=real,
-            softmax_impl=softmax_impl,
+            softmax_impl=softmax_impl, save_acts=save_acts,
         ),
         grid=(b // block_b,),
         in_specs=[
-            pl.BlockSpec((block_b, n_pad, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tile(d),
             pl.BlockSpec((1, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0),
@@ -238,9 +260,8 @@ def _fused_attn_block(
             pl.BlockSpec((inner, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, n_pad, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((rows, inner3), x.dtype),
             pltpu.VMEM((rows, inner), x.dtype),
@@ -260,22 +281,37 @@ def _fused_attn_block(
         ),
         interpret=interpret,
     )(x, row2(ln_scale), row2(ln_bias), w_qkv, w_out)
+    if save_acts:
+        o, qkv, att = out
+        # NOTE qkv/att keep the padded token axis (the backward wants
+        # the same layout); only o is sliced for the caller.
+        return o[:, :n], qkv, att
     return out[:, :n]
 
 
 def _attn_block_bwd_kernel(
-    x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref,
-    dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
-    qkv_s, datt_s, att_s, dqkv_s,
-    *, heads: int, dh: int, scale: float, eps: float,
+    x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref, *rest,
+    heads: int, dh: int, scale: float, eps: float,
     n_pad: int, n_actual: int, softmax_impl: str = "fp32",
+    with_acts: bool = False,
 ):
     """One image-group tile of the attention-block backward.
 
-    Recomputes LN/QKV/softmax from the saved x (nothing but x was
-    stored), then walks the chain in reverse; parameter grads
+    Without ``with_acts``: recomputes LN/QKV/softmax from the saved x
+    (nothing but x was stored).  With ``with_acts`` the training
+    forward saved the QKV projection and per-head attention outputs, so
+    this kernel skips the projection recompute GEMM and the per-head
+    att GEMMs (profiled as the bs-64 train lever); only the LN stats
+    and the softmax are recomputed (VPU work).  Parameter grads
     accumulate in fp32 constant-index output blocks across the grid.
     """
+    if with_acts:
+        (qkv_in, att_in,
+         dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
+         datt_s, dqkv_s) = rest
+    else:
+        (dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
+         qkv_s, datt_s, att_s, dqkv_s) = rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -303,11 +339,14 @@ def _attn_block_bwd_kernel(
     xhat = (xf - mean) * inv
     lns = lns_ref[...].astype(jnp.float32)
     xn = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(x.dtype)
-    qkv_s[...] = jax.lax.dot_general(
-        xn, wqkv_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    if with_acts:
+        qkv_all = qkv_in[...].reshape(rows, 3 * inner)
+    else:
+        qkv_s[...] = jax.lax.dot_general(
+            xn, wqkv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
 
     # Pad-row policy (matches attention_block_train): rows >= n_actual
     # contribute NOTHING to parameter grads and their cotangent passes
@@ -330,7 +369,7 @@ def _attn_block_bwd_kernel(
     # --- per (image, head): recompute softmax, backprop through it ---
     for bi in range(bb):
         rsl = slice(bi * n_pad, (bi + 1) * n_pad)
-        blk = qkv_s[rsl, :]
+        blk = qkv_all[rsl, :] if with_acts else qkv_s[rsl, :]
         for h in range(heads):
             q = blk[:, h * dh : (h + 1) * dh]
             k = blk[:, inner + h * dh : inner + (h + 1) * dh]
@@ -350,10 +389,11 @@ def _attn_block_bwd_kernel(
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=1, keepdims=True)
                 pn = (p / l).astype(v.dtype)  # the fwd GEMM operand
-            att_s[rsl, h * dh : (h + 1) * dh] = jax.lax.dot_general(
-                pn, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(att_s.dtype)
+            if not with_acts:
+                att_s[rsl, h * dh : (h + 1) * dh] = jax.lax.dot_general(
+                    pn, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(att_s.dtype)
             da = datt_s[rsl, h * dh : (h + 1) * dh]
             dpn = jax.lax.dot_general(
                 da, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -380,8 +420,10 @@ def _attn_block_bwd_kernel(
             )
 
     # --- projections + LN backward ---
+    att_all = (att_in[...].reshape(rows, inner) if with_acts
+               else att_s[...])
     dwout_ref[...] += jax.lax.dot_general(
-        att_s[...], gp, dimension_numbers=(((0,), (0,)), ((), ())),
+        att_all, gp, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dxn = jax.lax.dot_general(
@@ -403,16 +445,22 @@ def _attn_block_bwd_kernel(
 
 
 def _bwd_footprint(
-    n_pad: int, d: int, inner: int, itemsize: int, block_b: int
+    n_pad: int, d: int, inner: int, itemsize: int, block_b: int,
+    with_acts: bool = False,
 ) -> int:
     """VMEM estimate for the backward kernel: fwd-kernel footprint + the
     fp32 dW accumulators, the extra datt/dqkv/att scratches, and the
-    fp32 row values (xhat, dxn) the LN backward keeps live."""
+    fp32 row values (xhat, dxn) the LN backward keeps live.  With saved
+    activations the qkv/att scratches become double-buffered input
+    tiles (one extra copy of each)."""
     rows = block_b * n_pad
     weights = (d * 3 * inner + inner * d) * itemsize
     accums = (d * 3 * inner + inner * d) * 4 + 2 * d * 4
     tiles = 6 * rows * d * itemsize  # x + g + dx, double-buffered
-    scratch = rows * (2 * 3 * inner + 2 * inner) * itemsize
+    act_width = 3 * (3 * inner + inner) if with_acts else (
+        2 * 3 * inner + 2 * inner
+    )
+    scratch = rows * act_width * itemsize
     logits = 4 * n_pad * _round_up(n_pad, 128) * 4  # s/p/dpn/ds fp32
     row_f32 = 4 * rows * d * 4  # xhat, dxn, dxh, dxf
     return weights + accums + tiles + scratch + logits + row_f32
@@ -442,7 +490,9 @@ def _fused_attn_block_bwd(
     heads: int, scale: float, eps: float,
     block_b: Optional[int] = None, interpret: bool = False,
     n_actual: Optional[int] = None, softmax_impl: str = "fp32",
+    qkv=None, att=None,
 ):
+    with_acts = qkv is not None
     b, n, d = x.shape
     inner3 = w_qkv.shape[1]
     inner = inner3 // 3
@@ -453,6 +503,7 @@ def _fused_attn_block_bwd(
         pad = ((0, 0), (0, n_pad - n), (0, 0))
         x = jnp.pad(x, pad)
         g = jnp.pad(g, pad)
+        # qkv/att were saved PADDED by the forward (save_acts path)
     if block_b is None:
         # Largest grid block that divides the batch and fits VMEM —
         # measured on v5e at ViT-B shapes: 8 beats 4 by ~5.5% and 2 by
@@ -460,7 +511,8 @@ def _fused_attn_block_bwd(
         block_b = 8
         while block_b > 1 and (
             b % block_b
-            or _bwd_footprint(n_pad, d, inner, x.dtype.itemsize, block_b)
+            or _bwd_footprint(n_pad, d, inner, x.dtype.itemsize,
+                              block_b, with_acts)
             > 0.75 * _VMEM_LIMIT
         ):
             block_b //= 2
@@ -469,23 +521,41 @@ def _fused_attn_block_bwd(
     rows = block_b * n_pad
     row2 = lambda a: a.reshape(1, -1)
 
-    tile = pl.BlockSpec((block_b, n_pad, d), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+    wtile = lambda w: pl.BlockSpec((block_b, n_pad, w),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    tile = wtile(d)
     const = lambda *shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    operands = [x, g, row2(ln_scale), row2(ln_bias), w_qkv, w_out]
+    in_specs = [
+        tile, tile,
+        const(1, d), const(1, d),
+        const(d, inner3), const(inner, d),
+    ]
+    if with_acts:
+        operands += [qkv, att]
+        in_specs += [wtile(inner3), wtile(inner)]
+        scratch_shapes = [
+            pltpu.VMEM((rows, inner), x.dtype),    # datt
+            pltpu.VMEM((rows, inner3), x.dtype),   # dqkv
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((rows, inner3), x.dtype),   # qkv
+            pltpu.VMEM((rows, inner), x.dtype),    # datt
+            pltpu.VMEM((rows, inner), x.dtype),    # att (recomputed)
+            pltpu.VMEM((rows, inner3), x.dtype),   # dqkv
+        ]
     dx, dwqkv, dwout, dls, dlb = pl.pallas_call(
         functools.partial(
             _attn_block_bwd_kernel, heads=heads, dh=dh, scale=scale,
             eps=eps, n_pad=n_pad, n_actual=real,
-            softmax_impl=softmax_impl,
+            softmax_impl=softmax_impl, with_acts=with_acts,
         ),
         grid=(b // block_b,),
-        in_specs=[
-            tile, tile,
-            const(1, d), const(1, d),
-            const(d, inner3), const(inner, d),
-        ],
+        in_specs=in_specs,
         out_specs=(
             tile,
             const(d, inner3), const(inner, d),
@@ -498,12 +568,7 @@ def _fused_attn_block_bwd(
             jax.ShapeDtypeStruct((1, d), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((rows, inner3), x.dtype),   # qkv
-            pltpu.VMEM((rows, inner), x.dtype),    # datt
-            pltpu.VMEM((rows, inner), x.dtype),    # att (recomputed)
-            pltpu.VMEM((rows, inner3), x.dtype),   # dqkv
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=(
                 4 * b * n_pad * d * inner3           # qkv fwd+bwd proj
@@ -518,7 +583,7 @@ def _fused_attn_block_bwd(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(x, g, row2(ln_scale), row2(ln_bias), w_qkv, w_out)
+    )(*operands)
 
     cast = lambda a, like: a.reshape(like.shape).astype(like.dtype)
     return (
@@ -658,12 +723,13 @@ def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
                           x.dtype.itemsize, interpret):
         dh = inner // heads
         s = dh ** -0.5 if scale is None else scale
-        out = _fused_attn_block(
+        out, qkv, att = _fused_attn_block(
             x, ln_scale, ln_bias, w_qkv, w_out,
             heads=heads, scale=s, eps=eps, interpret=interpret,
             n_actual=n_actual, softmax_impl=_SOFTMAX_IMPL,
+            save_acts=True,
         )
-        return out, (x, ln_scale, ln_bias, w_qkv, w_out)
+        return out, (x, ln_scale, ln_bias, w_qkv, w_out, qkv, att)
     out, vjp = jax.vjp(
         lambda *a: attention_block_train(
             *a, heads=heads, scale=scale, eps=eps, n_actual=n_actual
@@ -676,7 +742,7 @@ def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
 def _fab_bwd(heads, scale, eps, interpret, n_actual, train_impl, res, g):
     if callable(res):  # XLA rule: res is the jax.vjp closure
         return res(g)
-    x, ln_scale, ln_bias, w_qkv, w_out = res
+    x, ln_scale, ln_bias, w_qkv, w_out, qkv, att = res
     inner = w_qkv.shape[1] // 3
     dh = inner // heads
     s = dh ** -0.5 if scale is None else scale
@@ -684,6 +750,7 @@ def _fab_bwd(heads, scale, eps, interpret, n_actual, train_impl, res, g):
         x, g, ln_scale, ln_bias, w_qkv, w_out,
         heads=heads, scale=s, eps=eps, interpret=interpret,
         n_actual=n_actual, softmax_impl=_SOFTMAX_IMPL,
+        qkv=qkv, att=att,
     )
 
 
