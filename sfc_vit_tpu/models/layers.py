@@ -187,7 +187,7 @@ class TorchTransformerEncoderLayer(nn.Module):
             return fused_postnorm_tail(
                 x, attn, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
                 eps=1e-5, activation="relu",
-                interpret=_sv._FORCE_FUSED,
+                interpret=_sv._FORCE_FUSED, train_impl=_sv._TRAIN_IMPL,
             )
 
         # Unfused path: the stock flax modules verbatim — swapping in a

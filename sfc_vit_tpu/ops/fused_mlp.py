@@ -539,7 +539,7 @@ fused_mlp_block.defvjp(_fm_fwd, _fm_bwd)
 
 def _postnorm_tail_kernel(
     x_ref, a_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    ln2s_ref, ln2b_ref, o_ref, *, eps: float, activation: str,
+    ln2s_ref, ln2b_ref, o_ref, *saves, eps: float, activation: str,
 ):
     xf = x_ref[...].astype(jnp.float32)
     af = a_ref[...].astype(jnp.float32)
@@ -560,6 +560,8 @@ def _postnorm_tail_kernel(
         preferred_element_type=jnp.float32,
     )
     h = h + b1_ref[...].astype(jnp.float32)
+    if saves:  # training fwd: save z + pre-LN2 sum for the bwd kernel
+        saves[0][...] = h.astype(saves[0].dtype)
     h = _act(h, activation).astype(x_ref.dtype)
 
     y = jax.lax.dot_general(
@@ -568,6 +570,8 @@ def _postnorm_tail_kernel(
         preferred_element_type=jnp.float32,
     )
     s2 = y + b2_ref[...].astype(jnp.float32) + x2f
+    if saves:
+        saves[1][...] = s2.astype(saves[1].dtype)
     mean2 = jnp.mean(s2, axis=1, keepdims=True)
     var2 = jnp.maximum(
         jnp.mean(s2 * s2, axis=1, keepdims=True) - mean2 * mean2, 0.0
@@ -581,12 +585,14 @@ def _postnorm_tail_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "activation", "block_r", "interpret"),
+    static_argnames=("eps", "activation", "block_r", "interpret",
+                     "save_acts"),
 )
 def _postnorm_tail(
     x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
     eps: float, activation: str,
     block_r: int = 256, interpret: bool = False,
+    save_acts: bool = False,
 ):
     b, n, d = x.shape
     f = w1.shape[1]
@@ -601,9 +607,18 @@ def _postnorm_tail(
 
     rowspec = pl.BlockSpec((block_r, d), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+    zspec = pl.BlockSpec((block_r, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
     vec = lambda w: pl.BlockSpec((1, w), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out_specs = (rowspec, zspec, rowspec) if save_acts else rowspec
+    out_shape = (
+        (jax.ShapeDtypeStruct((r_pad, d), x.dtype),
+         jax.ShapeDtypeStruct((r_pad, f), x.dtype),
+         jax.ShapeDtypeStruct((r_pad, d), x.dtype))
+        if save_acts else jax.ShapeDtypeStruct((r_pad, d), x.dtype)
+    )
+    res = pl.pallas_call(
         functools.partial(
             _postnorm_tail_kernel, eps=eps, activation=activation,
         ),
@@ -617,11 +632,12 @@ def _postnorm_tail(
                          memory_space=pltpu.VMEM),
             vec(d), vec(d), vec(d),
         ],
-        out_specs=rowspec,
-        out_shape=jax.ShapeDtypeStruct((r_pad, d), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * r_pad * d * f,
-            bytes_accessed=(3 * r_pad * d + 2 * d * f) * x.dtype.itemsize,
+            bytes_accessed=(3 * r_pad * d + 2 * d * f) * x.dtype.itemsize
+            + (r_pad * (f + d) * x.dtype.itemsize if save_acts else 0),
             transcendentals=r_pad * f,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -630,7 +646,182 @@ def _postnorm_tail(
         interpret=interpret,
     )(xr, ar, row2(ln1_s), row2(ln1_b), w1, row2(b1), w2, row2(b2),
       row2(ln2_s), row2(ln2_b))
-    return out[:r].reshape(b, n, d)
+    if save_acts:
+        o, z, s2 = res
+        return (o[:r].reshape(b, n, d), z[:r].reshape(b, n, f),
+                s2[:r].reshape(b, n, d))
+    return res[:r].reshape(b, n, d)
+
+
+def _postnorm_tail_bwd_kernel(
+    x_ref, a_ref, g_ref, z_ref, s2_ref,
+    ln1s_ref, ln1b_ref, w1_ref, w2_ref, ln2s_ref, ln2b_ref,
+    ds_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    dls1_ref, dlb1_ref, dls2_ref, dlb2_ref,
+    *, eps: float, activation: str,
+):
+    """Postnorm-tail backward: 4 GEMMs, no recompute GEMMs (the
+    training forward saved z and the pre-LN2 sum s2).  Both LN
+    normalizations are re-derived cheaply from x+a / s2.  ``ds_ref``
+    is the shared cotangent of x AND attn_out (they only enter via
+    x + attn_out)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    dls1_ref, dlb1_ref, dls2_ref, dlb2_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    xf = x_ref[...].astype(jnp.float32)
+    af = a_ref[...].astype(jnp.float32)
+    gf = g_ref[...].astype(jnp.float32)
+    z = z_ref[...].astype(jnp.float32)
+    s2 = s2_ref[...].astype(jnp.float32)
+
+    # LN1 stats from x + a
+    s1 = xf + af
+    m1 = jnp.mean(s1, axis=1, keepdims=True)
+    v1 = jnp.maximum(
+        jnp.mean(s1 * s1, axis=1, keepdims=True) - m1 * m1, 0.0
+    )
+    inv1 = jax.lax.rsqrt(v1 + eps)
+    xhat1 = (s1 - m1) * inv1
+    ls1 = ln1s_ref[...].astype(jnp.float32)
+    x2 = (xhat1 * ls1 + ln1b_ref[...].astype(jnp.float32)).astype(
+        x_ref.dtype
+    )
+    h = _act(z, activation).astype(x_ref.dtype)
+
+    # LN2 stats from the saved s2
+    m2 = jnp.mean(s2, axis=1, keepdims=True)
+    v2 = jnp.maximum(
+        jnp.mean(s2 * s2, axis=1, keepdims=True) - m2 * m2, 0.0
+    )
+    inv2 = jax.lax.rsqrt(v2 + eps)
+    xhat2 = (s2 - m2) * inv2
+
+    # --- LN2 backward ---
+    dls2_ref[...] += jnp.sum(gf * xhat2, axis=0, keepdims=True)
+    dlb2_ref[...] += jnp.sum(gf, axis=0, keepdims=True)
+    dxh2 = gf * ln2s_ref[...].astype(jnp.float32)
+    mm1 = jnp.mean(dxh2, axis=1, keepdims=True)
+    mm2 = jnp.mean(dxh2 * xhat2, axis=1, keepdims=True)
+    ds2 = inv2 * (dxh2 - mm1 - xhat2 * mm2)
+
+    # --- fc2 / act / fc1 backward ---
+    db2_ref[...] += jnp.sum(ds2, axis=0, keepdims=True)
+    ds2_b = ds2.astype(x_ref.dtype)
+    dw2_ref[...] += jax.lax.dot_general(
+        h, ds2_b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh = jax.lax.dot_general(
+        ds2_b, w2_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz = dh * _dact(z, activation)
+    db1_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+    dzc = dz.astype(x_ref.dtype)
+    dw1_ref[...] += jax.lax.dot_general(
+        x2, dzc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # x2f feeds BOTH fc1 and the residual into s2
+    dx2 = jax.lax.dot_general(
+        dzc, w1_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ds2
+
+    # --- LN1 backward ---
+    dls1_ref[...] += jnp.sum(dx2 * xhat1, axis=0, keepdims=True)
+    dlb1_ref[...] += jnp.sum(dx2, axis=0, keepdims=True)
+    dxh1 = dx2 * ls1
+    n1 = jnp.mean(dxh1, axis=1, keepdims=True)
+    n2 = jnp.mean(dxh1 * xhat1, axis=1, keepdims=True)
+    ds_ref[...] = (inv1 * (dxh1 - n1 - xhat1 * n2)).astype(ds_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "block_r", "interpret"),
+)
+def _postnorm_tail_bwd(
+    x, attn_out, g, z, s2, ln1_s, ln1_b, w1, b1, w2, ln2_s, ln2_b,
+    eps: float, activation: str,
+    block_r: int = 256, interpret: bool = False,
+):
+    b, n, d = x.shape
+    f = w1.shape[1]
+    r = b * n
+    r_pad = _round_up(r, block_r)
+
+    def rows(a, w):
+        a = a.reshape(r, w)
+        if r_pad != r:
+            a = jnp.pad(a, ((0, r_pad - r), (0, 0)))
+        return a
+
+    row2 = lambda a: a.reshape(1, -1)
+    rowspec = pl.BlockSpec((block_r, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    zspec = pl.BlockSpec((block_r, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ds, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2 = pl.pallas_call(
+        functools.partial(
+            _postnorm_tail_bwd_kernel, eps=eps, activation=activation,
+        ),
+        grid=(r_pad // block_r,),
+        in_specs=[
+            rowspec, rowspec, rowspec, zspec, rowspec,
+            const(1, d), const(1, d),
+            const(d, f), const(f, d),
+            const(1, d), const(1, d),
+        ],
+        out_specs=(
+            rowspec,
+            const(d, f), const(1, f), const(f, d), const(1, d),
+            const(1, d), const(1, d), const(1, d), const(1, d),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((d, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * r_pad * d * f,
+            bytes_accessed=(4 * r_pad * d + r_pad * f + 2 * d * f)
+            * x.dtype.itemsize + 2 * d * f * 4,
+            transcendentals=2 * r_pad * f,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(rows(x, d), rows(attn_out, d), rows(g, d), rows(z, f),
+      rows(s2, d), row2(ln1_s), row2(ln1_b), w1, w2,
+      row2(ln2_s), row2(ln2_b))
+
+    cast = lambda a, like: a.reshape(like.shape).astype(like.dtype)
+    dsum = ds[:r].reshape(b, n, d)
+    return (
+        dsum, dsum,
+        cast(dls1, ln1_s), cast(dlb1, ln1_b),
+        cast(dw1, w1), cast(db1, b1),
+        cast(dw2, w2), cast(db2, w2[0]),
+        cast(dls2, ln2_s), cast(dlb2, ln2_b),
+    )
 
 
 def postnorm_tail_xla(
@@ -662,7 +853,7 @@ def postnorm_tail_fits(
     return weights + tiles + hidden + ln_tmp <= 0.6 * _VMEM_LIMIT
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def fused_postnorm_tail(
     x: jnp.ndarray,
     attn_out: jnp.ndarray,
@@ -677,12 +868,16 @@ def fused_postnorm_tail(
     eps: float = 1e-5,
     activation: str = "relu",
     interpret: bool = False,
+    train_impl: str = "auto",
 ) -> jnp.ndarray:
     """``LN2(LN1(x+attn) + fc2(act(fc1(LN1(x+attn)))))`` as ONE kernel.
 
-    Inference fast path for the post-norm (family A) encoder layer;
-    under differentiation the VJP rule is :func:`postnorm_tail_xla`, so
-    training is bit-identical to the unfused graph.  Gate call sites on
+    Under differentiation (``train_impl='auto'`` on TPU) the forward IS
+    this kernel saving z + the pre-LN2 sum, and the backward is the
+    companion Pallas kernel (:func:`_postnorm_tail_bwd`: 4 GEMMs, no
+    recompute GEMMs — family A trains on the same fast path it serves).
+    ``train_impl='xla'`` restores the round-2 rule (differentiate
+    :func:`postnorm_tail_xla`).  Gate call sites on
     :func:`postnorm_tail_fits` (two streamed inputs + extra fp32 LN
     temporaries vs the plain MLP kernel).
     """
@@ -693,7 +888,16 @@ def fused_postnorm_tail(
 
 
 def _pt_fwd(x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
-            eps, activation, interpret):
+            eps, activation, interpret, train_impl):
+    d, f = w1.shape
+    if _mlp_train_pallas(train_impl, d, f, x.dtype.itemsize, interpret):
+        out, z, s2 = _postnorm_tail(
+            x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+            eps=eps, activation=activation, interpret=interpret,
+            save_acts=True,
+        )
+        return out, (x, attn_out, ln1_s, ln1_b, w1, b1, w2,
+                     ln2_s, ln2_b, z, s2)
     out, vjp = jax.vjp(
         lambda *a: postnorm_tail_xla(
             *a, eps=eps, activation=activation
@@ -703,8 +907,14 @@ def _pt_fwd(x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
     return out, vjp
 
 
-def _pt_bwd(eps, activation, interpret, vjp, g):
-    return vjp(g)
+def _pt_bwd(eps, activation, interpret, train_impl, res, g):
+    if callable(res):  # XLA rule
+        return res(g)
+    (x, attn_out, ln1_s, ln1_b, w1, b1, w2, ln2_s, ln2_b, z, s2) = res
+    return _postnorm_tail_bwd(
+        x, attn_out, g, z, s2, ln1_s, ln1_b, w1, b1, w2, ln2_s, ln2_b,
+        eps=eps, activation=activation, interpret=interpret,
+    )
 
 
 fused_postnorm_tail.defvjp(_pt_fwd, _pt_bwd)

@@ -246,7 +246,7 @@ def test_postnorm_tail_matches_xla_bf16():
     )
 
 
-def test_postnorm_tail_grads_are_unfused_formula():
+def test_postnorm_tail_xla_rule_grads_are_unfused_formula():
     from sfc_vit_tpu.ops.fused_mlp import (
         fused_postnorm_tail,
         postnorm_tail_xla,
@@ -255,7 +255,10 @@ def test_postnorm_tail_grads_are_unfused_formula():
     args = _tail_inputs(n=32, d=128, f=256)
 
     def loss_fused(*a):
-        return jnp.sum(fused_postnorm_tail(*a, interpret=True) ** 2)
+        return jnp.sum(
+            fused_postnorm_tail(*a, interpret=True, train_impl="xla")
+            ** 2
+        )
 
     def loss_ref(*a):
         return jnp.sum(postnorm_tail_xla(*a) ** 2)
@@ -267,6 +270,71 @@ def test_postnorm_tail_grads_are_unfused_formula():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
         )
+
+
+def test_postnorm_tail_pallas_bwd_matches_xla_grads():
+    """Round 3: the saved-acts tail backward vs the unfused grads —
+    every argnum (both residual inputs, both LNs, both projections)."""
+    from sfc_vit_tpu.ops.fused_mlp import (
+        fused_postnorm_tail,
+        postnorm_tail_xla,
+    )
+
+    args = _tail_inputs(n=32, d=128, f=256)
+    argnums = tuple(range(10))
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_postnorm_tail(*a, interpret=True, train_impl="pallas")
+            ** 2
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(postnorm_tail_xla(*a) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=argnums)(*args)
+    g2 = jax.grad(loss_ref, argnums=argnums)(*args)
+    for a, b in zip(g1, g2):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
+        )
+
+
+def test_postnorm_tail_pallas_bwd_bf16_and_padding():
+    """bf16 + a non-tile-multiple row count through the saved-acts tail
+    backward: training-equivalence via relative L2."""
+    from sfc_vit_tpu.ops.fused_mlp import (
+        fused_postnorm_tail,
+        postnorm_tail_xla,
+    )
+
+    args = tuple(
+        a.astype(jnp.bfloat16)
+        for a in _tail_inputs(b=1, n=100, d=128, f=256)
+    )
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_postnorm_tail(*a, interpret=True, train_impl="pallas")
+            .astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(
+            postnorm_tail_xla(*a).astype(jnp.float32) ** 2
+        )
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    for a, b in zip(g1, g2):
+        af = np.asarray(a, np.float32).ravel()
+        bf = np.asarray(b, np.float32).ravel()
+        rel = np.linalg.norm(af - bf) / (np.linalg.norm(bf) + 1e-9)
+        # two LN stages + the bf16-saved pre-LN2 sum add one rounding
+        # stage over the MLP-block case (fp32 parity is 3e-4 above);
+        # measured worst leaf 2.5%
+        assert rel < 4e-2, rel
 
 
 def test_postnorm_layer_model_parity(monkeypatch):
