@@ -268,3 +268,40 @@ def test_pallas_train_backwards_on_chip():
         bf = np.asarray(b, np.float32).ravel()
         rel = np.linalg.norm(af - bf) / (np.linalg.norm(bf) + 1e-9)
         assert rel < 1e-3, rel
+
+
+def test_postnorm_tail_pallas_bwd_on_chip():
+    """Round 3: the saved-acts tail backward Mosaic-compiles and its
+    grads match the unfused composition on the chip (wide-MLP family-A
+    regime, f >= 1024)."""
+    from sfc_vit_tpu.ops.fused_mlp import (
+        fused_postnorm_tail,
+        postnorm_tail_xla,
+    )
+
+    rng = np.random.default_rng(8)
+    d, f = 256, 1024
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    args = (
+        mk(4, 64, d), mk(4, 64, d),
+        mk(d) * 0.1 + 1.0, mk(d) * 0.1,
+        mk(d, f) / 16, mk(f) * 0.1,
+        mk(f, d) / 32, mk(d) * 0.1,
+        mk(d) * 0.1 + 1.0, mk(d) * 0.1,
+    )
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_postnorm_tail(*a, train_impl="pallas") ** 2
+        ) * 1e-4
+
+    def loss_ref(*a):
+        return jnp.sum(postnorm_tail_xla(*a) ** 2) * 1e-4
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    for a, b in zip(g1, g2):
+        af = np.asarray(a, np.float32).ravel()
+        bf = np.asarray(b, np.float32).ravel()
+        rel = np.linalg.norm(af - bf) / (np.linalg.norm(bf) + 1e-9)
+        assert rel < 1e-3, rel
