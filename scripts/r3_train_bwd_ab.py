@@ -26,23 +26,25 @@ import numpy as np
 from jax import lax
 
 
-def _time_scan(step_fn, iters=10, reps=3):
-    """step_fn(carry)->carry, run as one device-side lax.scan dispatch,
-    scalar readback (bench.py::_throughput pattern)."""
+def _time_scan(step_fn, *args, iters=10, reps=3):
+    """step_fn(carry, *args)->carry, run as one device-side lax.scan
+    dispatch, scalar readback (bench.py::_throughput pattern).  Big
+    operands are passed as jit ARGUMENTS, never closure constants
+    (baked HLO constants can 413 the remote tunnel)."""
 
     @jax.jit
-    def run():
+    def run(*a):
         def body(c, _):
-            return step_fn(c), None
+            return step_fn(c, *a), None
 
         c, _ = lax.scan(body, jnp.float32(0), None, length=iters)
         return c
 
-    np.asarray(jax.device_get(run()))  # compile + warm
+    np.asarray(jax.device_get(run(*args)))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(jax.device_get(run()))
+        np.asarray(jax.device_get(run(*args)))
         ts.append(time.perf_counter() - t0)
     return min(ts) / iters
 
@@ -62,7 +64,7 @@ def kernel_microbench():
 
     out = {}
     for impl in ("xla", "pallas"):
-        def mlp_step(c, _impl=impl):
+        def mlp_step(c, xa, a1, a2, _impl=impl):
             def loss(xx, a1, a2):
                 y = fused_mlp_block(xx, lns, lnb, a1, b1, a2, b2,
                                     train_impl=_impl)
@@ -70,18 +72,18 @@ def kernel_microbench():
 
             # perturb WITHOUT promoting bf16 -> f32 (f32 scalar carry)
             l, gr = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-                x + (c * 1e-24).astype(x.dtype), w1, w2
+                xa + (c * 1e-24).astype(xa.dtype), a1, a2
             )
             acc = sum(g.astype(jnp.float32).sum() for g in gr)
             return (l + acc * 1e-12).astype(jnp.float32)
 
-        sec = _time_scan(mlp_step)
+        sec = _time_scan(mlp_step, x, w1, w2)
         tf = 3 * 2 * 2 * b * n * d * f / sec / 1e12  # 6 R.D.F GEMMs
         out[f"mlp_{impl}"] = {"ms": sec * 1e3, "eff_gemm_tf": tf}
         print(f"mlp  {impl:6s} {sec*1e3:8.2f} ms  ~{tf:.1f} TF/s",
               flush=True)
 
-        def attn_step(c, _impl=impl):
+        def attn_step(c, xa, a1, a2, _impl=impl):
             def loss(xx, a1, a2):
                 y = fused_attention_block(xx, lns, lnb,
                                           a1, a2, heads,
@@ -89,12 +91,12 @@ def kernel_microbench():
                 return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-12
 
             l, gr = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-                x + (c * 1e-24).astype(x.dtype), wq, wo
+                xa + (c * 1e-24).astype(xa.dtype), a1, a2
             )
             acc = sum(g.astype(jnp.float32).sum() for g in gr)
             return (l + acc * 1e-12).astype(jnp.float32)
 
-        sec = _time_scan(attn_step)
+        sec = _time_scan(attn_step, x, wq, wo)
         out[f"attn_{impl}"] = {"ms": sec * 1e3}
         print(f"attn {impl:6s} {sec*1e3:8.2f} ms", flush=True)
     return out

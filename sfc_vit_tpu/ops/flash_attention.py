@@ -720,8 +720,6 @@ def flash_attention_with_lse(
                               interpret=interpret)
         lse = lse[:, :nq, 0].reshape(b, h, nq)
         return out, lse
-    from .attention import dot_product_attention_xla
-
     out = dot_product_attention_xla(q, k, v, scale=s)
     qb = q.transpose(0, 2, 1, 3).astype(jnp.float32)  # [B,H,N,dh]
     kb = k.transpose(0, 2, 1, 3).astype(jnp.float32)

@@ -187,10 +187,13 @@ def _attn_block_kernel(
 
 
 def fused_attention_block_fits(
-    n: int, d: int, inner: int, itemsize: int, block_b: int = 4
+    n: int, d: int, inner: int, itemsize: int, block_b: int = 4,
+    save_acts: bool = False,
 ) -> bool:
     """VMEM gate: resident weights (double-buffer-conservative) + row
-    tiles + the QKV/attention scratch + one fp32 logits tile."""
+    tiles + the QKV/attention scratch + one fp32 logits tile.  With
+    ``save_acts`` (the training forward) the qkv/att scratches are also
+    streamed out as double-buffered output tiles."""
     n_pad = _round_up(n, 16)
     if n > 1024:
         return False  # whole-sequence softmax per image: short-N only
@@ -198,6 +201,8 @@ def fused_attention_block_fits(
     weights = 2 * (d * 3 * inner + inner * d) * itemsize
     tiles = 4 * rows * d * itemsize
     scratch = rows * 3 * inner * itemsize + rows * inner * itemsize
+    if save_acts:
+        scratch += 2 * rows * 4 * inner * itemsize
     logits = 2 * n_pad * _round_up(n_pad, 128) * 4
     ln_tmp = 2 * rows * d * 4
     return weights + tiles + scratch + logits + ln_tmp <= 0.6 * _VMEM_LIMIT
@@ -469,12 +474,15 @@ def _bwd_footprint(
 def attn_block_bwd_fits(
     n: int, d: int, inner: int, itemsize: int, block_b: int = 1
 ) -> bool:
-    """True when the backward kernel can run at ANY block_b (the call
-    auto-shrinks from 8; this gates the train rule)."""
+    """True when the TRAINING backward can run at ANY block_b (the call
+    auto-shrinks from 8; this gates the train rule).  Models the
+    with_acts footprint — the train path always saves qkv/att — so the
+    gate decides on the kernel that actually runs."""
     if n > 1024:
         return False
     n_pad = _round_up(n, 16)
-    return (_bwd_footprint(n_pad, d, inner, itemsize, block_b)
+    return (_bwd_footprint(n_pad, d, inner, itemsize, block_b,
+                           with_acts=True)
             <= 0.75 * _VMEM_LIMIT)
 
 
@@ -644,6 +652,11 @@ def _attn_train_pallas(train_impl: str, n: int, d: int, inner: int,
         (on_tpu or interpret)
         and d % 128 == 0 and inner % 128 == 0
         and attn_block_bwd_fits(n, d, inner, itemsize)
+        # the training forward streams qkv/att out (save_acts) — it
+        # must fit too, or the step dies at Mosaic compile time instead
+        # of taking the XLA rule
+        and fused_attention_block_fits(n, d, inner, itemsize,
+                                       save_acts=True)
     )
 
 

@@ -153,11 +153,14 @@ _VMEM_LIMIT = 100 * 2 ** 20
 
 
 def fused_mlp_fits(
-    d: int, f: int, itemsize: int, block_r: int = 256
+    d: int, f: int, itemsize: int, block_r: int = 256,
+    save_z: bool = False,
 ) -> bool:
     weights = 2 * (2 * d * f * itemsize)
     tiles = 4 * block_r * d * itemsize  # x + out, double-buffered
     hidden = block_r * f * 4 + block_r * f * itemsize
+    if save_z:  # training forward streams z out, double-buffered
+        hidden += 2 * block_r * f * itemsize
     ln_tmp = 2 * block_r * d * 4
     return weights + tiles + hidden + ln_tmp <= 0.6 * _VMEM_LIMIT
 
@@ -456,6 +459,8 @@ def _mlp_train_pallas(train_impl: str, d: int, f: int, itemsize: int,
         (on_tpu or interpret)
         and d % 128 == 0 and f % 128 == 0
         and fused_mlp_bwd_fits(d, f, itemsize)
+        # the training forward streams z out — it must fit too
+        and fused_mlp_fits(d, f, itemsize, save_z=True)
     )
 
 
@@ -840,17 +845,57 @@ def postnorm_tail_xla(
 
 
 def postnorm_tail_fits(
-    d: int, f: int, itemsize: int, block_r: int = 256
+    d: int, f: int, itemsize: int, block_r: int = 256,
+    save_acts: bool = False,
 ) -> bool:
     """VMEM gate for :func:`fused_postnorm_tail` — unlike
     :func:`fused_mlp_fits` it accounts for TWO streamed row inputs
     (x and attn_out) and the extra fp32 row temporaries (s1, x2f, s2)
-    the two LayerNorms keep live."""
+    the two LayerNorms keep live.  With ``save_acts`` (the training
+    forward) z and the pre-LN2 sum are also streamed out."""
     weights = 2 * (2 * d * f * itemsize)
     tiles = 6 * block_r * d * itemsize  # x + attn_out + out, dbl-buf
     hidden = block_r * f * 4 + block_r * f * itemsize
+    if save_acts:
+        hidden += 2 * (block_r * f + block_r * d) * itemsize
     ln_tmp = 4 * block_r * d * 4  # s1/x2f + s2/o fp32 pairs
     return weights + tiles + hidden + ln_tmp <= 0.6 * _VMEM_LIMIT
+
+
+def postnorm_tail_bwd_fits(
+    d: int, f: int, itemsize: int, block_r: int = 256
+) -> bool:
+    """VMEM gate for :func:`_postnorm_tail_bwd`, which has a larger
+    working set than the plain-MLP backward it's derived from: FIVE
+    streamed row inputs (x, attn_out, g, z, s2) + the ds output, two
+    LayerNorms' worth of fp32 row temporaries, and the same fp32 dW
+    accumulators."""
+    weights = 2 * (2 * d * f * itemsize)        # w1 + w2, dbl-buffered
+    accums = 2 * d * f * 4 + f * 4 + 5 * d * 4  # dW1/dW2 + bias/LN vecs
+    tiles = 10 * block_r * d * itemsize  # x/a/g/s2 in + ds out, dbl-buf
+    hidden = (2 * block_r * f * itemsize  # z streamed, dbl-buffered
+              + 3 * block_r * f * 4)      # z / dh / dz fp32
+    row_tmp = 8 * block_r * d * 4  # s1/xhat1/x2/dx2/dxh/dxf + LN2 pair
+    return weights + accums + tiles + hidden + row_tmp <= 0.6 * _VMEM_LIMIT
+
+
+def _tail_train_pallas(train_impl: str, d: int, f: int, itemsize: int,
+                       interpret: bool) -> bool:
+    """Trace-time choice of the postnorm-tail training rule — same
+    policy as :func:`_mlp_train_pallas` but gated on the TAIL kernels'
+    own footprints (backward working set + save_acts forward streams),
+    not the plain-MLP model (they diverge near the VMEM envelope)."""
+    if train_impl == "pallas":
+        return True
+    if train_impl != "auto":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    return (
+        (on_tpu or interpret)
+        and d % 128 == 0 and f % 128 == 0
+        and postnorm_tail_bwd_fits(d, f, itemsize)
+        and postnorm_tail_fits(d, f, itemsize, save_acts=True)
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
@@ -890,7 +935,7 @@ def fused_postnorm_tail(
 def _pt_fwd(x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
             eps, activation, interpret, train_impl):
     d, f = w1.shape
-    if _mlp_train_pallas(train_impl, d, f, x.dtype.itemsize, interpret):
+    if _tail_train_pallas(train_impl, d, f, x.dtype.itemsize, interpret):
         out, z, s2 = _postnorm_tail(
             x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
             eps=eps, activation=activation, interpret=interpret,

@@ -20,8 +20,11 @@ Microbatches stream through the stage ring via ``pipeline_apply``
 composes PP with batch sharding.
 
 Parameter layout conversion is lossless and round-trips exactly
-(:func:`split_pipeline_params` / :func:`merge_pipeline_params`), so
-sequential checkpoints load into pipelined runs and vice versa.
+(:func:`split_pipeline_params` / :func:`merge_pipeline_params`; the
+TrainState-level :func:`split_pipeline_state` / :func:`merge_pipeline_state`
+also convert the Adam mirrors), so sequential checkpoints load into
+pipelined runs and vice versa — ``Trainer.maybe_resume`` detects the
+saved layout from the checkpoint metadata and converts automatically.
 """
 
 from __future__ import annotations
@@ -39,6 +42,8 @@ from .pipeline import pipeline_apply, stack_stage_params
 __all__ = [
     "split_pipeline_params",
     "merge_pipeline_params",
+    "split_pipeline_state",
+    "merge_pipeline_state",
     "make_pipelined_apply",
     "pipeline_state_sharding",
 ]
@@ -96,6 +101,51 @@ def merge_pipeline_params(pp_params, depth: int, n_stages: int):
     full = dict(pp_params["outer"])
     full["transformer"] = tr
     return full
+
+
+def _map_param_mirrors(tree, src_treedef, fn):
+    """Apply ``fn`` to every subtree of ``tree`` whose pytree structure
+    equals ``src_treedef`` (the param-tree layout).  This converts the
+    Adam mu/nu mirrors inside an optax state without knowing the chain's
+    exact shape — any transform that mirrors the param tree is caught."""
+
+    def rec(node):
+        if jax.tree_util.tree_structure(node) == src_treedef:
+            return fn(node)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[rec(c) for c in node])
+        if isinstance(node, tuple):
+            return tuple(rec(c) for c in node)
+        if isinstance(node, list):
+            return [rec(c) for c in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(tree)
+
+
+def split_pipeline_state(state, depth: int, n_stages: int):
+    """Sequential TrainState -> pipelined layout: converts ``params``
+    and every opt-state subtree that mirrors it (Adam mu/nu) with
+    :func:`split_pipeline_params` — lossless, so sequential checkpoints
+    load into pipelined runs with their optimizer moments intact."""
+    fn = lambda p: split_pipeline_params(p, depth, n_stages)
+    src = jax.tree_util.tree_structure(state.params)
+    return state.replace(
+        params=fn(state.params),
+        opt_state=_map_param_mirrors(state.opt_state, src, fn),
+    )
+
+
+def merge_pipeline_state(state, depth: int, n_stages: int):
+    """Inverse of :func:`split_pipeline_state` (exact round-trip)."""
+    fn = lambda p: merge_pipeline_params(p, depth, n_stages)
+    src = jax.tree_util.tree_structure(state.params)
+    return state.replace(
+        params=fn(state.params),
+        opt_state=_map_param_mirrors(state.opt_state, src, fn),
+    )
 
 
 def _embed(model, outer, x, rngs=None):
@@ -188,25 +238,26 @@ def make_pipelined_apply(
         outer, stages = pp["outer"], pp["stages"]
         tokens = _embed(model, outer, x, rngs=rngs)
         b, n, d = tokens.shape
-        if b % microbatches != 0:
-            raise ValueError(
-                f"batch {b} not divisible by {microbatches} microbatches"
-            )
-        mb = b // microbatches
         bshard = (batch_axis if batch_axis
                   and mesh.shape.get(batch_axis, 1) > 1 else None)
-        if bshard and mb % mesh.shape[bshard] != 0:
-            raise ValueError(
-                f"microbatch size {mb} (batch {b} / {microbatches} "
-                f"microbatches) not divisible by the {bshard!r} mesh "
-                f"axis ({mesh.shape[bshard]}); lower the microbatch "
-                "count or the data-parallel degree"
+        # The batch must split into `microbatches` equal microbatches,
+        # each divisible by the data mesh axis.  Ragged batches (the
+        # final eval batch under drop_last=False, or a CLI batch size
+        # that doesn't match the pipe geometry) are padded up — pad
+        # rows' logits are sliced off below, so loss/grads on real
+        # rows are identical to an unpadded run.
+        quantum = microbatches * (mesh.shape[bshard] if bshard else 1)
+        b_pad = -(-b // quantum) * quantum
+        if b_pad != b:
+            tokens = jnp.pad(
+                tokens, ((0, b_pad - b), (0, 0), (0, 0))
             )
+        mb = b_pad // microbatches
         xs = tokens.reshape(microbatches, mb, n, d)
         ys = pipeline_apply(
             mesh, stage_fn, stages, xs, axis=axis, batch_axis=bshard,
         )
-        return _head(model, outer, ys.reshape(b, n, d))
+        return _head(model, outer, ys.reshape(b_pad, n, d))[:b]
 
     return apply_fn
 

@@ -43,6 +43,9 @@ class Checkpointer:
                 save_interval_steps=save_interval_steps,
                 create=True,
             ),
+            # register the handler eagerly so item_metadata works on a
+            # fresh manager over an existing directory (resume path)
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
         self._best = ocp.CheckpointManager(
             self.directory / "best",
@@ -84,6 +87,16 @@ class Checkpointer:
         return self._best.restore(
             step, args=ocp.args.StandardRestore(state_template)
         )
+
+    def params_metadata(self, step: Optional[int] = None) -> Any:
+        """Saved ``params`` subtree metadata (nested dicts of orbax
+        ArrayMetadata, each with ``.shape``) for layout inspection
+        before restore — e.g. detecting a pipelined checkpoint's
+        ``stages`` layout from a sequential run."""
+        step = self._latest.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        return self._latest.item_metadata(step).tree["params"]
 
     def latest_step(self) -> Optional[int]:
         return self._latest.latest_step()

@@ -122,7 +122,11 @@ def make_train_step(
 def make_eval_step(num_classes: int) -> Callable:
     """Build the eval step: ``step(state, batch) -> metrics`` with sum-
     reduced loss/correct counts so the host can aggregate exactly
-    (reference ``evaluate``, ``train.py:80-99``)."""
+    (reference ``evaluate``, ``train.py:80-99``).
+
+    Rows with label ``-1`` are padding (``Trainer.evaluate`` pads the
+    ragged final ``drop_last=False`` batch up to the data-axis
+    multiple) and are excluded from every metric."""
 
     def step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
         x, y = batch
@@ -133,12 +137,15 @@ def make_eval_step(num_classes: int) -> Callable:
             # constant stream so random-curve ablation models also eval
             rngs={"permute": jax.random.key(0)},
         )
-        loss = cross_entropy(logits, y)
-        correct = (jnp.argmax(logits, axis=-1) == y).sum()
+        valid = y >= 0
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(y, num_classes)  # -1 -> all-zero row
+        loss_sum = -(onehot * logp).sum()
+        correct = ((jnp.argmax(logits, axis=-1) == y) & valid).sum()
         return {
-            "loss_sum": loss * x.shape[0],
+            "loss_sum": loss_sum,
             "correct": correct,
-            "count": jnp.int32(x.shape[0]),
+            "count": valid.sum().astype(jnp.int32),
         }
 
     return step

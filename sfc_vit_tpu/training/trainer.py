@@ -157,6 +157,7 @@ class Trainer:
                 lambda _: rep, self.state
             )
         # Shard/replicate state over the mesh; batch arrives data-sharded.
+        self._state_sh = state_sh
         self.state = jax.device_put(self.state, state_sh)
         bsh = batch_sharding(self.mesh)
         train_step = make_train_step(
@@ -192,12 +193,69 @@ class Trainer:
 
     def maybe_resume(self) -> bool:
         """Restore the latest checkpoint if one exists; returns True if
-        training resumed (the capability the reference lacks)."""
+        training resumed (the capability the reference lacks).
+
+        Layout-aware: a checkpoint saved with a different
+        ``--pipeline-parallel`` setting (sequential <-> pipelined param
+        layout) is restored into the other layout's template and
+        converted losslessly, Adam moments included
+        (:mod:`~sfc_vit_tpu.parallel.pipeline_model`)."""
         if self.checkpointer is None or self.checkpointer.latest_step() is None:
             return False
-        self.state = self.checkpointer.restore(self.state)
+        template, convert = self._restore_template()
+        self.state = convert(self.checkpointer.restore(template))
         self.start_epoch = int(self.state.step) // self.steps_per_epoch
         return True
+
+    def _restore_template(self):
+        """(template, convert) for the latest checkpoint: identity when
+        the saved param layout matches this run's; otherwise the other
+        layout's template plus the lossless conversion back."""
+        ident = (self.state, lambda s: s)
+        try:
+            md = self.checkpointer.params_metadata()
+        except Exception:
+            return ident  # metadata unavailable: assume same layout
+        saved_pp = isinstance(md, dict) and "stages" in md
+        s_saved = (
+            jax.tree_util.tree_leaves(md["stages"])[0].shape[0]
+            if saved_pp else 0
+        )
+        s_run = (
+            self.config.pipeline_parallel
+            if self.config.pipeline_parallel > 1 else 0
+        )
+        if s_saved == s_run:
+            return ident
+        from ..parallel.pipeline_model import (
+            merge_pipeline_state,
+            split_pipeline_state,
+        )
+
+        depth = getattr(self.model, "depth", None)
+        if depth is None:
+            raise ValueError(
+                f"checkpoint param layout (stages={s_saved or None}) "
+                f"does not match this run (stages={s_run or None}) and "
+                "the model exposes no depth to convert"
+            )
+
+        def to_layout(st, stages):  # 0 = sequential
+            if s_run:
+                st = merge_pipeline_state(st, depth, s_run)
+            return (split_pipeline_state(st, depth, stages)
+                    if stages else st)
+
+        template = to_layout(self.state, s_saved)
+
+        def convert(st):
+            if s_saved:
+                st = merge_pipeline_state(st, depth, s_saved)
+            if s_run:
+                st = split_pipeline_state(st, depth, s_run)
+            return jax.device_put(st, self._state_sh)
+
+        return template, convert
 
     def train_epoch(self, batches: Iterable) -> dict:
         losses, accs, n = [], [], 0
@@ -221,8 +279,25 @@ class Trainer:
         }
 
     def evaluate(self, batches: Iterable) -> dict:
+        import jax.numpy as jnp
+
+        dsize = int(self.mesh.shape.get("data", 1))
         loss_sum, correct, count = 0.0, 0, 0
         for batch in batches:
+            x, y = batch[0], batch[1]
+            rem = (-x.shape[0]) % dsize
+            if rem:
+                # ragged final batch (drop_last=False): pad rows up to
+                # the data-axis multiple with label -1; the eval step
+                # masks them out of every metric.
+                x = jnp.concatenate(
+                    [jnp.asarray(x),
+                     jnp.zeros((rem,) + x.shape[1:], x.dtype)]
+                )
+                y = jnp.concatenate(
+                    [jnp.asarray(y), jnp.full((rem,), -1, y.dtype)]
+                )
+            batch = (x, y)
             batch = shard_batch(self.mesh, batch)
             m = jax.device_get(self._eval_step(self.state, batch))
             loss_sum += float(m["loss_sum"])

@@ -495,11 +495,16 @@ def test_pipelined_apply_microbatch_sweep(microbatches):
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
 
-    # microbatch too small to shard over 'data' -> clear error
+    # batch smaller than the pipe geometry's quantum (16 microbatches
+    # x data 2 = 32 > batch 16): padded up inside apply_fn, pad logits
+    # sliced off -> exact results, no raise (ragged final eval batches
+    # take this path under drop_last=False)
     if microbatches == 8:
-        bad = make_pipelined_apply(m, mesh, 4, microbatches=16)
-        with pytest.raises(ValueError, match="not divisible"):
-            bad({"params": pp}, x)
+        ragged = make_pipelined_apply(m, mesh, 4, microbatches=16)
+        out2 = ragged({"params": pp}, x)
+        np.testing.assert_allclose(
+            np.asarray(out2), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
 
 
 def test_trainer_pipeline_checkpoint_resume(tmp_path):
@@ -529,3 +534,84 @@ def test_trainer_pipeline_checkpoint_resume(tmp_path):
     b = jax.tree_util.tree_leaves(tr2.state.params["stages"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
                                atol=0)
+
+
+def test_trainer_pipeline_ragged_eval_batch():
+    """The final eval batch under drop_last=False can be any size —
+    the pipelined apply pads it to the pipe geometry internally and the
+    metrics count only real examples (parity vs a sequential run)."""
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    m = _pp_curvevit()
+    rng = np.random.default_rng(3)
+    xs = rng.standard_normal((13, 32, 32, 3)).astype(np.float32)
+    ys = (np.arange(13) % 10).astype(np.int32)
+    batches = lambda: iter([(xs[:8], ys[:8]), (xs[8:], ys[8:])])
+
+    evals = {}
+    for pp in (1, 4):
+        cfg = TrainConfig(
+            num_classes=10, epochs=1, warmup_epochs=0, use_mixing=False,
+            data_parallel=8 // pp, pipeline_parallel=pp,
+            pipeline_microbatches=2, seed=7,
+        )
+        tr = Trainer(m, cfg, steps_per_epoch=1,
+                     sample_input=np.zeros((2, 32, 32, 3), np.float32))
+        evals[pp] = tr.evaluate(batches())
+    assert evals[1]["test_accuracy"] == evals[4]["test_accuracy"]
+    np.testing.assert_allclose(
+        evals[1]["test_loss"], evals[4]["test_loss"], rtol=1e-5
+    )
+
+
+def test_trainer_cross_layout_checkpoint_resume(tmp_path):
+    """A checkpoint saved sequentially resumes into a pipelined run
+    (and back), params AND Adam moments converted losslessly
+    (pipeline_model docstring contract)."""
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    m = _pp_curvevit()
+    rng = np.random.default_rng(5)
+    xs = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    ys = (np.arange(8) % 10).astype(np.int32)
+    batches = lambda: iter([(xs, ys)])
+    sample = np.zeros((2, 32, 32, 3), np.float32)
+    base = dict(
+        num_classes=10, epochs=3, warmup_epochs=0, use_mixing=False,
+        pipeline_microbatches=2, workdir=str(tmp_path),
+    )
+
+    seq = Trainer(
+        m, TrainConfig(**base, data_parallel=8, pipeline_parallel=1),
+        steps_per_epoch=1, sample_input=sample)
+    seq.fit(batches, batches, epochs=1)
+
+    # sequential checkpoint -> pipelined run
+    pp = Trainer(
+        m, TrainConfig(**base, data_parallel=2, pipeline_parallel=4),
+        steps_per_epoch=1, sample_input=sample)
+    assert pp.maybe_resume()
+    assert int(pp.state.step) == 1
+    assert set(pp.state.params) == {"outer", "stages"}
+    from sfc_vit_tpu.parallel import merge_pipeline_params
+
+    merged = merge_pipeline_params(pp.state.params, m.depth, 4)
+    for a, b in zip(jax.tree_util.tree_leaves(merged),
+                    jax.tree_util.tree_leaves(seq.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Adam mu converted too (not reinitialized to zeros)
+    mu_leaves = [
+        np.asarray(l)
+        for l in jax.tree_util.tree_leaves(pp.state.opt_state)
+        if getattr(l, "ndim", 0) > 0
+    ]
+    assert any(np.abs(l).max() > 0 for l in mu_leaves)
+    pp.fit(batches, batches, epochs=2)  # continues training
+
+    # pipelined checkpoint (saved by pp.fit) -> sequential run
+    seq2 = Trainer(
+        m, TrainConfig(**base, data_parallel=8, pipeline_parallel=1),
+        steps_per_epoch=1, sample_input=sample)
+    assert seq2.maybe_resume()
+    assert int(seq2.state.step) == 2
+    assert "transformer" in seq2.state.params
