@@ -20,10 +20,23 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--batch-sweep", type=str, default=None,
+                   help="comma-separated batch sizes measured in ONE "
+                        "process (A/B discipline), e.g. 64,128,256")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--train", action="store_true")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
+
+    if args.batch_sweep:
+        for bs in args.batch_sweep.split(","):
+            sub = ["--batch-size", bs, "--iters", str(args.iters)]
+            if args.train:
+                sub.append("--train")
+            if args.platform:
+                sub += ["--platform", args.platform]
+            main(sub)
+        return
 
     if args.platform:
         import jax
