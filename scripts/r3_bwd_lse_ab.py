@@ -1,0 +1,84 @@
+"""Attention-backward squeeze A/B: saved-LSE softmax + block_b=8.
+
+The bs-64 profile (round 3 close-out) put the attention-block backward
+at ~99 TF/s effective vs the MLP backward's 163: the softmax recompute
+(max/sum cross-lane reductions + divide per (image, head)) and the
+with_acts VMEM estimate silently demoting the grid block from the
+measured-best 8 to 4.  Two fixes, measured here in ONE process
+(CLAUDE.md A/B discipline) on the full ViT-B/16 train step at bs 64:
+
+  * _SAVE_LSE: training forward streams out lse = m + log(l); the
+    backward recompute collapses to exp(s - lse) and delta uses the
+    flash identity rowsum(dout * out) over dh lanes.
+  * _BWD_BLOCK_B=8: force the pre-acts-measured-optimal grid block
+    (77.7 MiB estimated vs the 75 MiB auto budget; 100 MiB limit).
+
+Grid: {lse off/on} x {block_b 4/8}, then the winner at bs 128/256.
+
+    PYTHONPATH=/root/.axon_site:/root/repo nohup python \
+        scripts/r3_bwd_lse_ab.py > /tmp/r3_lse_ab.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from r3_train_bwd_ab import train_throughput
+
+    import sfc_vit_tpu.ops.fused_attention_block as fab
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    results = {}
+    grid = [
+        ("lse0_bb4", False, 4),
+        ("lse0_bb8", False, 8),
+        ("lse1_bb4", True, 4),
+        ("lse1_bb8", True, 8),
+    ]
+    for name, lse, bb in grid:
+        fab._SAVE_LSE = lse
+        fab._BWD_BLOCK_B = bb
+        try:
+            ips = train_throughput(64, "pallas")
+            results[name] = round(ips, 1)
+        except Exception as e:  # Mosaic VMEM overflow etc — record it
+            results[name] = f"FAILED: {type(e).__name__}"
+            traceback.print_exc()
+        print(f"-> {name}: {results[name]}", flush=True)
+
+    best = max(
+        (k for k in results if isinstance(results[k], float)),
+        key=lambda k: results[k],
+    )
+    lse, bb = dict((g[0], g[1:]) for g in grid)[best]
+    fab._SAVE_LSE, fab._BWD_BLOCK_B = lse, bb
+    print(f"winner {best}; sweeping batch", flush=True)
+    for batch in (128, 256):
+        try:
+            ips = train_throughput(batch, "pallas")
+            results[f"{best}_bs{batch}"] = round(ips, 1)
+        except Exception:
+            results[f"{best}_bs{batch}"] = "FAILED"
+            traceback.print_exc()
+        print(f"-> {best} bs{batch}: {results[f'{best}_bs{batch}']}",
+              flush=True)
+    fab._SAVE_LSE, fab._BWD_BLOCK_B = True, None
+
+    results["baseline_r3"] = {"bs64": 1071.3, "bs128": 1153.1,
+                              "bs256": 1179.8}
+    with open("results/r3_bwd_lse_ab.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,17 +88,34 @@ _VMEM_LIMIT = 100 * 2 ** 20
 #: TIME switch like models.simple_vit._TRAIN_IMPL: re-jit to toggle.
 _SOFTMAX_IMPL = "fp32"
 
+#: Training-rule tuning hooks (tracing-time switches, A/B'd on-chip in
+#: scripts/r3_bwd_lse_ab.py).  _SAVE_LSE: the training forward also
+#: streams out the per-(row, head) log-sum-exp so the backward's
+#: softmax recompute is a single exp (no max/sum cross-lane reductions,
+#: no divide) and delta comes from the saved attention output
+#: (flash-style rowsum(dout * out) over dh lanes instead of
+#: rowsum(dpn * p) over N lanes).  _BWD_BLOCK_B: force the backward's
+#: grid block (None = auto-fit).
+_SAVE_LSE = True
+_BWD_BLOCK_B = None
+
 
 def _attn_block_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref, o_ref, *rest,
     heads: int, dh: int, scale: float, eps: float,
     n_pad: int, n_actual: int, softmax_impl: str = "fp32",
-    save_acts: bool = False,
+    save_acts: bool = False, save_lse: bool = False,
 ):
+    lse_out = None
     if save_acts:
         # training fwd: persist the QKV projection + per-head attention
-        # outputs so the backward skips their recompute GEMMs
-        qkv_out, att_out, qkv_s, att_s = rest
+        # outputs so the backward skips their recompute GEMMs; with
+        # save_lse also the per-(row, head) log-sum-exp so the backward
+        # softmax recompute is one exp (no reductions, no divide)
+        if save_lse:
+            qkv_out, att_out, lse_out, qkv_s, att_s = rest
+        else:
+            qkv_out, att_out, qkv_s, att_s = rest
     else:
         qkv_s, att_s = rest
     bb = x_ref.shape[0]
@@ -168,6 +185,8 @@ def _attn_block_kernel(
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=1, keepdims=True)
                 pn = (p / l).astype(v.dtype)
+            if lse_out is not None:
+                lse_out[bi, :, h : h + 1] = m + jnp.log(l)
             out = jax.lax.dot_general(
                 pn, v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -203,6 +222,7 @@ def fused_attention_block_fits(
     scratch = rows * 3 * inner * itemsize + rows * inner * itemsize
     if save_acts:
         scratch += 2 * rows * 4 * inner * itemsize
+        scratch += 2 * rows * 128 * 4  # streamed lse tile (fp32)
     logits = 2 * n_pad * _round_up(n_pad, 128) * 4
     ln_tmp = 2 * rows * d * 4
     return weights + tiles + scratch + logits + ln_tmp <= 0.6 * _VMEM_LIMIT
@@ -212,7 +232,7 @@ def fused_attention_block_fits(
     jax.jit,
     static_argnames=(
         "heads", "scale", "eps", "block_b", "interpret", "n_actual",
-        "softmax_impl", "save_acts",
+        "softmax_impl", "save_acts", "save_lse",
     ),
 )
 def _fused_attn_block(
@@ -220,7 +240,7 @@ def _fused_attn_block(
     heads: int, scale: float, eps: float,
     block_b: int = 4, interpret: bool = False,
     n_actual: Optional[int] = None, softmax_impl: str = "fp32",
-    save_acts: bool = False,
+    save_acts: bool = False, save_lse: bool = False,
 ):
     b, n, d = x.shape
     inner3 = w_qkv.shape[1]
@@ -247,11 +267,23 @@ def _fused_attn_block(
             jax.ShapeDtypeStruct((b, n_pad, inner3), x.dtype),
             jax.ShapeDtypeStruct((b, n_pad, inner), x.dtype),
         )
+        if save_lse:
+            # per-(row, head) log-sum-exp; heads live on the lane axis
+            # (a (n_pad, 1) column store per head — the transposed
+            # (1, n_pad) layout would need a sublane->lane fold, which
+            # Mosaic rejects)
+            hp = _round_up(heads, 128)
+            out_specs = (*out_specs, tile(hp))
+            out_shape = (
+                *out_shape,
+                jax.ShapeDtypeStruct((b, n_pad, hp), jnp.float32),
+            )
     out = pl.pallas_call(
         functools.partial(
             _attn_block_kernel, heads=heads, dh=dh, scale=scale,
             eps=eps, n_pad=n_pad, n_actual=real,
             softmax_impl=softmax_impl, save_acts=save_acts,
+            save_lse=save_lse,
         ),
         grid=(b // block_b,),
         in_specs=[
@@ -287,9 +319,12 @@ def _fused_attn_block(
         interpret=interpret,
     )(x, row2(ln_scale), row2(ln_bias), w_qkv, w_out)
     if save_acts:
+        # NOTE qkv/att/lse keep the padded token axis (the backward
+        # wants the same layout); only o is sliced for the caller.
+        if save_lse:
+            o, qkv, att, lse = out
+            return o[:, :n], qkv, att, lse
         o, qkv, att = out
-        # NOTE qkv/att keep the padded token axis (the backward wants
-        # the same layout); only o is sliced for the caller.
         return o[:, :n], qkv, att
     return out[:, :n]
 
@@ -298,7 +333,7 @@ def _attn_block_bwd_kernel(
     x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref, wout_ref, *rest,
     heads: int, dh: int, scale: float, eps: float,
     n_pad: int, n_actual: int, softmax_impl: str = "fp32",
-    with_acts: bool = False,
+    with_acts: bool = False, with_lse: bool = False,
 ):
     """One image-group tile of the attention-block backward.
 
@@ -307,13 +342,24 @@ def _attn_block_bwd_kernel(
     forward saved the QKV projection and per-head attention outputs, so
     this kernel skips the projection recompute GEMM and the per-head
     att GEMMs (profiled as the bs-64 train lever); only the LN stats
-    and the softmax are recomputed (VPU work).  Parameter grads
-    accumulate in fp32 constant-index output blocks across the grid.
+    and the softmax are recomputed (VPU work).  With ``with_lse`` the
+    forward also saved the per-(row, head) log-sum-exp: the softmax
+    recompute collapses to ``exp(s - lse)`` (no max/sum cross-lane
+    reductions, no divide) and delta uses the flash identity
+    ``rowsum(dout * out)`` over dh lanes via the saved attention
+    output.  Parameter grads accumulate in fp32 constant-index output
+    blocks across the grid.
     """
+    lse_in = None
     if with_acts:
-        (qkv_in, att_in,
-         dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
-         datt_s, dqkv_s) = rest
+        if with_lse:
+            (qkv_in, att_in, lse_in,
+             dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
+             datt_s, dqkv_s) = rest
+        else:
+            (qkv_in, att_in,
+             dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
+             datt_s, dqkv_s) = rest
     else:
         (dx_ref, dwqkv_ref, dwout_ref, dls_ref, dlb_ref,
          qkv_s, datt_s, att_s, dqkv_s) = rest
@@ -371,6 +417,8 @@ def _attn_block_bwd_kernel(
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
+    att_all = att_in[...].reshape(rows, inner) if with_acts else None
+
     # --- per (image, head): recompute softmax, backprop through it ---
     for bi in range(bb):
         rsl = slice(bi * n_pad, (bi + 1) * n_pad)
@@ -385,15 +433,27 @@ def _attn_block_bwd_kernel(
             ) * scale
             if masked:
                 s = jnp.where(col < n_actual, s, _NEG_INF)
-            m = jnp.max(s, axis=1, keepdims=True)
-            if softmax_impl == "bf16exp":
-                p = jnp.exp((s - m).astype(jnp.bfloat16))
-                l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-                pn = (p.astype(jnp.float32) / l).astype(v.dtype)
+            if lse_in is not None:
+                # fwd saved lse = m + log(l): one exp, no reductions.
+                # exp(-inf - lse) == 0 keeps the pad-key mask intact.
+                lse = lse_in[bi, :, h : h + 1]
+                if softmax_impl == "bf16exp":
+                    pn = jnp.exp((s - lse).astype(jnp.bfloat16)).astype(
+                        v.dtype
+                    )
+                else:
+                    pn = jnp.exp(s - lse).astype(v.dtype)
             else:
-                p = jnp.exp(s - m)
-                l = jnp.sum(p, axis=1, keepdims=True)
-                pn = (p / l).astype(v.dtype)  # the fwd GEMM operand
+                m = jnp.max(s, axis=1, keepdims=True)
+                if softmax_impl == "bf16exp":
+                    p = jnp.exp((s - m).astype(jnp.bfloat16))
+                    l = jnp.sum(p.astype(jnp.float32), axis=1,
+                                keepdims=True)
+                    pn = (p.astype(jnp.float32) / l).astype(v.dtype)
+                else:
+                    p = jnp.exp(s - m)
+                    l = jnp.sum(p, axis=1, keepdims=True)
+                    pn = (p / l).astype(v.dtype)  # the fwd GEMM operand
             if not with_acts:
                 att_s[rsl, h * dh : (h + 1) * dh] = jax.lax.dot_general(
                     pn, v, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -405,7 +465,17 @@ def _attn_block_bwd_kernel(
                 preferred_element_type=jnp.float32,
             )  # (N, N)
             pf = pn.astype(jnp.float32)
-            delta = jnp.sum(dpn * pf, axis=1, keepdims=True)
+            if with_acts:
+                # flash identity: sum_j dpn_ij p_ij == sum_d da_id out_id
+                # (out = p @ v) — a dh-lane rowsum of saved tiles
+                # instead of an N-lane rowsum of a product pass.
+                att_h = att_all[rsl, h * dh : (h + 1) * dh]
+                delta = jnp.sum(
+                    da.astype(jnp.float32) * att_h.astype(jnp.float32),
+                    axis=1, keepdims=True,
+                )
+            else:
+                delta = jnp.sum(dpn * pf, axis=1, keepdims=True)
             ds = (pf * (dpn - delta) * scale).astype(x.dtype)
             dqkv_s[rsl, h * dh : (h + 1) * dh] = jax.lax.dot_general(
                 ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -425,8 +495,8 @@ def _attn_block_bwd_kernel(
             )
 
     # --- projections + LN backward ---
-    att_all = (att_in[...].reshape(rows, inner) if with_acts
-               else att_s[...])
+    if not with_acts:
+        att_all = att_s[...]
     dwout_ref[...] += jax.lax.dot_general(
         att_all, gp, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -466,6 +536,8 @@ def _bwd_footprint(
         2 * 3 * inner + 2 * inner
     )
     scratch = rows * act_width * itemsize
+    if with_acts:
+        scratch += 2 * rows * 128 * 4  # streamed lse tile (fp32)
     logits = 4 * n_pad * _round_up(n_pad, 128) * 4  # s/p/dpn/ds fp32
     row_f32 = 4 * rows * d * 4  # xhat, dxn, dxh, dxf
     return weights + accums + tiles + scratch + logits + row_f32
@@ -498,9 +570,10 @@ def _fused_attn_block_bwd(
     heads: int, scale: float, eps: float,
     block_b: Optional[int] = None, interpret: bool = False,
     n_actual: Optional[int] = None, softmax_impl: str = "fp32",
-    qkv=None, att=None,
+    qkv=None, att=None, lse=None,
 ):
     with_acts = qkv is not None
+    with_lse = lse is not None
     b, n, d = x.shape
     inner3 = w_qkv.shape[1]
     inner = inner3 // 3
@@ -545,6 +618,9 @@ def _fused_attn_block_bwd(
     if with_acts:
         operands += [qkv, att]
         in_specs += [wtile(inner3), wtile(inner)]
+        if with_lse:
+            operands.append(lse)
+            in_specs.append(wtile(lse.shape[2]))
         scratch_shapes = [
             pltpu.VMEM((rows, inner), x.dtype),    # datt
             pltpu.VMEM((rows, inner3), x.dtype),   # dqkv
@@ -561,6 +637,7 @@ def _fused_attn_block_bwd(
             _attn_block_bwd_kernel, heads=heads, dh=dh, scale=scale,
             eps=eps, n_pad=n_pad, n_actual=real,
             softmax_impl=softmax_impl, with_acts=with_acts,
+            with_lse=with_lse,
         ),
         grid=(b // block_b,),
         in_specs=in_specs,
@@ -736,13 +813,14 @@ def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
                           x.dtype.itemsize, interpret):
         dh = inner // heads
         s = dh ** -0.5 if scale is None else scale
-        out, qkv, att = _fused_attn_block(
+        saved = _fused_attn_block(
             x, ln_scale, ln_bias, w_qkv, w_out,
             heads=heads, scale=s, eps=eps, interpret=interpret,
             n_actual=n_actual, softmax_impl=_SOFTMAX_IMPL,
-            save_acts=True,
+            save_acts=True, save_lse=_SAVE_LSE,
         )
-        return out, (x, ln_scale, ln_bias, w_qkv, w_out, qkv, att)
+        out, rest = saved[0], saved[1:]  # qkv, att[, lse]
+        return out, (x, ln_scale, ln_bias, w_qkv, w_out, *rest)
     out, vjp = jax.vjp(
         lambda *a: attention_block_train(
             *a, heads=heads, scale=scale, eps=eps, n_actual=n_actual
@@ -755,7 +833,7 @@ def _fab_fwd(x, ln_scale, ln_bias, w_qkv, w_out, heads, scale, eps,
 def _fab_bwd(heads, scale, eps, interpret, n_actual, train_impl, res, g):
     if callable(res):  # XLA rule: res is the jax.vjp closure
         return res(g)
-    x, ln_scale, ln_bias, w_qkv, w_out, qkv, att = res
+    x, ln_scale, ln_bias, w_qkv, w_out, qkv, att, *maybe_lse = res
     inner = w_qkv.shape[1] // 3
     dh = inner // heads
     s = dh ** -0.5 if scale is None else scale
@@ -764,6 +842,8 @@ def _fab_bwd(heads, scale, eps, interpret, n_actual, train_impl, res, g):
         heads=heads, scale=s, eps=eps, interpret=interpret,
         n_actual=n_actual, softmax_impl=_SOFTMAX_IMPL,
         qkv=qkv, att=att,
+        lse=maybe_lse[0] if maybe_lse else None,
+        block_b=_BWD_BLOCK_B,
     )
 
 
