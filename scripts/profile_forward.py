@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--train", action="store_true",
                    help="profile the full training step instead")
+    p.add_argument("--preset", default=None,
+                   help="registry preset (e.g. 'flagship') instead of "
+                        "the bench ViT-B/16")
+    p.add_argument("--num-classes", type=int, default=None)
     args = p.parse_args(argv)
 
     import jax
@@ -36,12 +40,23 @@ def main(argv=None):
     from jax import lax
 
     sys.path.insert(0, "/root/repo")
-    from bench import _build
 
-    model = _build("hilbert", False, args.attn_impl, jnp.bfloat16)
+    if args.preset:
+        from sfc_vit_tpu.registry import preset_config, build_model
+
+        cfg = preset_config(args.preset, dtype="bfloat16")
+        model = build_model(cfg)
+        img = cfg.img_size
+        n_classes = args.num_classes or cfg.num_classes
+    else:
+        from bench import _build
+
+        model = _build("hilbert", False, args.attn_impl, jnp.bfloat16)
+        img = 224
+        n_classes = args.num_classes or 1000
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(
-            (args.batch_size, 224, 224, 3)
+            (args.batch_size, img, img, 3)
         ),
         jnp.bfloat16,
     )
@@ -64,7 +79,7 @@ def main(argv=None):
             model, jax.random.key(0), x[:2].astype(jnp.float32),
             make_optimizer(sched),
         )
-        step = make_train_step(num_classes=1000, schedule=sched)
+        step = make_train_step(num_classes=n_classes, schedule=sched)
         y = jnp.zeros((args.batch_size,), jnp.int32)
         xf = x.astype(jnp.float32)
 
