@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline stages over the 'pipe' mesh axis "
                         "(pre-norm ViT families; depth must divide)")
     t.add_argument("--pipeline-microbatches", type=int, default=4)
+    t.add_argument("--dropout-key-impl", default="auto",
+                   choices=["auto", "rbg", "threefry"],
+                   help="dropout mask PRNG: auto = TPU hardware RNG "
+                        "(+35%% flagship train), threefry = "
+                        "cross-version-replayable bitstream")
     t.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
     return p
@@ -156,6 +161,7 @@ def main(argv=None) -> dict:
         model_parallel=args.model_parallel,
         pipeline_parallel=args.pipeline_parallel,
         pipeline_microbatches=args.pipeline_microbatches,
+        dropout_key_impl=args.dropout_key_impl,
     )
     trainer = Trainer(
         model, tcfg, steps_per_epoch=steps,

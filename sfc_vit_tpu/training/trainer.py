@@ -55,6 +55,11 @@ class TrainConfig:
     model_parallel: int = 1
     pipeline_parallel: int = 1  # stages over the 'pipe' mesh axis
     pipeline_microbatches: int = 4  # GPipe M (bubble = (S-1)/(M+S-1))
+    # 'auto' = TPU hardware RNG for dropout mask bits (threefry key
+    # derivation kept), threefry elsewhere; 'threefry' pins the
+    # cross-version-replayable path.  +35% flagship train throughput
+    # (results/r3_flagship_dropout_ab.json).
+    dropout_key_impl: str = "auto"
 
 
 class Trainer:
@@ -167,6 +172,7 @@ class Trainer:
             mix_prob=config.mix_prob,
             use_mixing=config.use_mixing,
             schedule=self.schedule,
+            dropout_key_impl=config.dropout_key_impl,
         )
         self._train_step = jax.jit(
             train_step,

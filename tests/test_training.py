@@ -174,3 +174,43 @@ def test_trainer_data_parallel_8dev():
     assert np.isfinite(rec["train_loss"])
     ev = tr.evaluate(data(1, bs=32))
     assert 0.0 <= ev["test_accuracy"] <= 1.0
+
+
+def test_train_step_rbg_dropout_key():
+    """dropout_key_impl='rbg' (hardware-RNG mask bits): jits, runs,
+    deterministic per key, and actually trains (params move)."""
+    from sfc_vit_tpu.models import TransformerSeqEncoder
+    from sfc_vit_tpu.models.vit import VisionTransformer1D
+    from sfc_vit_tpu.tokenizers import PixelCurveEmbedding1D
+    from sfc_vit_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    model = VisionTransformer1D(
+        patch_embed=PixelCurveEmbedding1D(
+            img_size=8, patch_size=4, embed_dim=32, curve="hilbert"),
+        depth=2, n_heads=2, mlp_dim=64, num_classes=4,
+        dropout_rate=0.1, attn_impl="xla",
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 8, 8, 3)), jnp.float32
+    )
+    y = jnp.arange(8, dtype=jnp.int32) % 4
+    sched = warmup_cosine(1e-3, 0, 20)
+    state = create_train_state(
+        model, jax.random.key(0), x[:2], make_optimizer(sched)
+    )
+    step = jax.jit(make_train_step(num_classes=4, schedule=sched,
+                                   dropout_key_impl="rbg"))
+    s1, m1 = step(state, (x, y), jax.random.key(3))
+    s1b, m1b = step(state, (x, y), jax.random.key(3))
+    assert np.isfinite(float(m1["loss"]))
+    # deterministic: same state+key -> identical loss
+    assert float(m1["loss"]) == float(m1b["loss"])
+    # different key -> different dropout masks -> different loss
+    _, m2 = step(state, (x, y), jax.random.key(4))
+    assert float(m1["loss"]) != float(m2["loss"])
+    # params actually moved
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
