@@ -32,6 +32,12 @@ __all__ = [
     "MultiLayerPredictor",
 ]
 
+#: TRACING-TIME switch (like models.simple_vit._TRAIN_IMPL): route
+#: training-with-dropout through the fused torch-MHA Pallas kernel
+#: (ops/fused_torch_attention.py).  False restores the explicit-weights
+#: path end-to-end — the A/B hook for scripts/r3_mha_kernel_ab.py.
+_FUSED_TRAIN_MHA = True
+
 
 class TokenAggregator(nn.Module):
     """Depthwise-separable Conv1d over the token axis (localformer-style).
@@ -80,12 +86,60 @@ class TorchMultiHeadAttention(nn.Module):
     def __call__(
         self, x: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
+        import jax as _jax
+
+        from . import simple_vit as _sv
+
         d = self.dim
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(x)
-        b, n, _ = qkv.shape
+        # Params via holders (identical tree to nn.Dense: in_proj /
+        # out_proj {kernel, bias}) so the fused training kernel and the
+        # unfused graphs share checkpoints and torch transplants.
+        w_in, b_in = _sv._DenseParams(d, 3 * d, name="in_proj")()
+        w_out, b_out = _sv._DenseParams(d, d, name="out_proj")()
+        dt = self.dtype or x.dtype
+        xc = x.astype(dt)
+        w_in, b_in, w_out, b_out = (
+            a.astype(dt) for a in (w_in, b_in, w_out, b_out)
+        )
+        b, n, _ = x.shape
         dh = d // self.n_heads
         needs_weights = self.is_mutable_collection("intermediates")
         apply_weight_dropout = self.dropout_rate > 0.0 and not deterministic
+
+        if apply_weight_dropout and not needs_weights and _FUSED_TRAIN_MHA:
+            # Fused training path: the whole MHA (packed projection,
+            # per-head softmax, in-register probability dropout from
+            # hardware-RNG mask bits, out projection) as one Pallas
+            # kernel with a no-[N,N]-residual backward — the explicit-
+            # weights path below spends ~22% of the flagship train step
+            # in BNHD layout copies + stored-probability residuals
+            # (RESULTS round 3, profile_forward --preset flagship).
+            from ..ops.fused_torch_attention import (
+                fused_torch_mha,
+                torch_mha_bwd_fits,
+                torch_mha_fits,
+            )
+
+            itemsize = jnp.dtype(dt).itemsize
+            if (
+                (_jax.default_backend() == "tpu" or _sv._FORCE_FUSED)
+                and d % 128 == 0
+                and torch_mha_fits(n, d, itemsize, self.n_heads,
+                                   save_acts=True)
+                and torch_mha_bwd_fits(n, d, itemsize, self.n_heads)
+            ):
+                keep = 1.0 - self.dropout_rate
+                mask = _jax.random.bernoulli(
+                    self.make_rng("dropout"), keep,
+                    (b, self.n_heads, n, n),
+                ).astype(dt)
+                return fused_torch_mha(
+                    xc, w_in, b_in, w_out, b_out, mask, self.n_heads,
+                    keep=keep, interpret=_sv._FORCE_FUSED,
+                    train_impl=_sv._TRAIN_IMPL,
+                )
+
+        qkv = xc @ w_in + b_in
         if needs_weights or apply_weight_dropout:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(b, n, self.n_heads, dh)
@@ -94,9 +148,10 @@ class TorchMultiHeadAttention(nn.Module):
             # Explicit-weights path: (a) observability -- apply with
             # mutable=['intermediates'] to capture per-head maps (cf. the
             # reference's commented-out CustomTransformerEncoderLayer,
-            # vit.py:48-174); (b) training with dropout -- torch
-            # nn.MultiheadAttention drops attention *probabilities*, so
-            # parity requires dropout on the weights, not the output.
+            # vit.py:48-174); (b) training with dropout when the fused
+            # kernel doesn't fit -- torch nn.MultiheadAttention drops
+            # attention *probabilities*, so parity requires dropout on
+            # the weights, not the output.
             from ..ops.attention import attention_with_weights
 
             out, weights = attention_with_weights(q, k, v)
@@ -116,7 +171,7 @@ class TorchMultiHeadAttention(nn.Module):
             out = packed_qkv_attention(
                 qkv, self.n_heads, implementation=self.attn_impl
             )
-        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+        return out @ w_out + b_out
 
 
 class TorchTransformerEncoderLayer(nn.Module):
