@@ -122,7 +122,8 @@ class TorchMultiHeadAttention(nn.Module):
 
             itemsize = jnp.dtype(dt).itemsize
             if (
-                (_jax.default_backend() == "tpu" or _sv._FORCE_FUSED)
+                self.attn_impl == "auto"  # 'xla' = whole-module escape
+                and (_jax.default_backend() == "tpu" or _sv._FORCE_FUSED)
                 and d % 128 == 0
                 and torch_mha_fits(n, d, itemsize, self.n_heads,
                                    save_acts=True)
