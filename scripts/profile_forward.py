@@ -44,7 +44,9 @@ def main(argv=None):
     if args.preset:
         from sfc_vit_tpu.registry import preset_config, build_model
 
-        cfg = preset_config(args.preset, dtype="bfloat16")
+        cfg = preset_config(
+            args.preset, dtype="bfloat16", attn_impl=args.attn_impl
+        )
         model = build_model(cfg)
         img = cfg.img_size
         n_classes = args.num_classes or cfg.num_classes

@@ -55,10 +55,14 @@ def main():
             traceback.print_exc()
         print(f"-> {name}: {results[name]}", flush=True)
 
-    best = max(
-        (k for k in results if isinstance(results[k], float)),
-        key=lambda k: results[k],
-    )
+    ok = [k for k in results if isinstance(results[k], float)]
+    if not ok:  # all variants failed: still write the artifact
+        fab._SAVE_LSE, fab._BWD_BLOCK_B = True, None
+        with open("results/r3_bwd_lse_ab.json", "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results), flush=True)
+        return
+    best = max(ok, key=lambda k: results[k])
     lse, bb = dict((g[0], g[1:]) for g in grid)[best]
     fab._SAVE_LSE, fab._BWD_BLOCK_B = lse, bb
     print(f"winner {best}; sweeping batch", flush=True)

@@ -96,7 +96,10 @@ class TorchMultiHeadAttention(nn.Module):
         # unfused graphs share checkpoints and torch transplants.
         w_in, b_in = _sv._DenseParams(d, 3 * d, name="in_proj")()
         w_out, b_out = _sv._DenseParams(d, d, name="out_proj")()
-        dt = self.dtype or x.dtype
+        # dtype=None matches nn.Dense(dtype=None): promote with the fp32
+        # params, so bf16 inputs still get an fp32 matmul (stock-flax
+        # numerics for checkpoints that never set a compute dtype).
+        dt = self.dtype or jnp.promote_types(x.dtype, w_in.dtype)
         xc = x.astype(dt)
         w_in, b_in, w_out, b_out = (
             a.astype(dt) for a in (w_in, b_in, w_out, b_out)
@@ -106,7 +109,12 @@ class TorchMultiHeadAttention(nn.Module):
         needs_weights = self.is_mutable_collection("intermediates")
         apply_weight_dropout = self.dropout_rate > 0.0 and not deterministic
 
-        if apply_weight_dropout and not needs_weights and _FUSED_TRAIN_MHA:
+        if (
+            apply_weight_dropout
+            and self.dropout_rate < 1.0  # rate=1.0: nn.Dropout path
+            and not needs_weights
+            and _FUSED_TRAIN_MHA
+        ):
             # Fused training path: the whole MHA (packed projection,
             # per-head softmax, in-register probability dropout from
             # hardware-RNG mask bits, out projection) as one Pallas
@@ -210,7 +218,9 @@ class TorchTransformerEncoderLayer(nn.Module):
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
 
         d, f = self.dim, self.hidden_dim
-        dt = self.dtype or x.dtype
+        # promotion as in TorchMultiHeadAttention: dtype=None + bf16
+        # input must compute fp32 (the stock nn.Dense/LayerNorm rule).
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         dropout_active = self.dropout_rate > 0.0 and not deterministic
         if (
             self.attn_impl == "auto"

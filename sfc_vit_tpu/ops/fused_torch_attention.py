@@ -511,13 +511,16 @@ def _torch_mha_bwd(
 def torch_mha_train(
     x, w_in, b_in, w_out, b_out, drop_mask,
     heads: int, scale: Optional[float] = None, keep: float = 1.0,
+    n_actual: Optional[int] = None,
 ):
     """The unfused XLA composition with an explicit 0/1 probability
     mask — bit-for-bit what ``TorchMultiHeadAttention``'s
     explicit-weights path computes given the same mask
     (``attention_with_weights`` + ``nn.Dropout`` semantics:
     ``select(mask, P/keep, 0)``).  The differentiated fallback and the
-    CPU reference for the kernel's parity tests."""
+    CPU reference for the kernel's parity tests.  ``n_actual`` masks
+    pad KEY columns like the kernel does (pad-row outputs remain
+    don't-care, matching the kernel convention)."""
     b, n, d = x.shape
     _validate(d, w_in.shape[1], heads)
     dh = d // heads
@@ -530,6 +533,9 @@ def torch_mha_train(
     logits = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
     ).astype(jnp.float32) * s
+    if n_actual is not None and n_actual < n:
+        col = jnp.arange(n)[None, None, None, :]
+        logits = jnp.where(col < n_actual, logits, _NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
     if drop_mask is not None:
         w = jnp.where(drop_mask.astype(bool), w / keep, 0.0)
@@ -581,6 +587,12 @@ def fused_torch_mha(
     Mirrors torch ``nn.MultiheadAttention`` training semantics
     (reference usage: ``vit.py:197-203`` via TransformerEncoderLayer).
     """
+    if keep <= 0.0:
+        raise ValueError(
+            "fused_torch_mha requires keep > 0 (dropout rate < 1); "
+            "rate=1.0 means the attention output is all zeros -- use "
+            "nn.Dropout / the explicit-weights path for that."
+        )
     _validate(x.shape[-1], w_in.shape[1], heads)
     dh = x.shape[-1] // heads
     s = dh ** -0.5 if scale is None else scale
@@ -608,7 +620,7 @@ def _ftm_fwd(x, w_in, b_in, w_out, b_out, drop_mask,
     out, vjp = jax.vjp(
         lambda xx, wi, bi, wo, bo: torch_mha_train(
             xx, wi, bi, wo, bo, drop_mask,
-            heads=heads, scale=scale, keep=keep,
+            heads=heads, scale=scale, keep=keep, n_actual=n_actual,
         ),
         x, w_in, b_in, w_out, b_out,
     )

@@ -104,12 +104,15 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
         k_mix, k_drop, k_perm = jax.random.split(rng, 3)
         if dropout_key_impl and dropout_key_impl != "threefry":
-            # 4 words of threefry output seed the cheap generator; the
-            # expensive per-mask bit generation then runs on the TPU's
-            # hardware RNG rather than as fused threefry arithmetic.
-            kd = jax.random.key_data(jax.random.split(k_drop, 2))
+            # 4 words of the step key's output seed the cheap generator;
+            # the expensive per-mask bit generation then runs on the
+            # TPU's hardware RNG rather than as fused threefry
+            # arithmetic.  random.bits (not key_data) so any incoming
+            # key impl works -- rbg/unsafe_rbg keys carry 4-word
+            # key_data and reshape(4) on a split pair would be wrong.
+            kd = jax.random.bits(k_drop, (4,), jnp.uint32)
             k_drop = jax.random.wrap_key_data(
-                kd.reshape(4).astype(jnp.uint32), impl=dropout_key_impl
+                kd, impl=dropout_key_impl
             )
         if use_mixing:
             x, y_a, y_b, lam = mix_or_cutmix(

@@ -119,6 +119,91 @@ def test_fused_torch_mha_xla_rule_matches_kernel_rule():
         assert rel < 1e-5
 
 
+def test_xla_rule_respects_n_actual():
+    """The XLA fallback VJP rule masks pad KEY columns exactly like the
+    kernel rule: values + grads restricted to real rows match between
+    train_impl='xla' and 'pallas' when n_actual < n."""
+    rng = np.random.default_rng(4)
+    b, n, d, h = 2, 32, 128, 2
+    n_act = 20
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    w_in, b_in, w_out, b_out = _params(rng, d)
+    keep = 0.8
+    mask = jax.random.bernoulli(
+        jax.random.key(9), keep, (b, h, n, n)
+    ).astype(jnp.float32)
+
+    def make(impl):
+        def f(*a):
+            out = fused_torch_mha(*a, mask, h, keep=keep, interpret=True,
+                                  n_actual=n_act, train_impl=impl)
+            return (out[:, :n_act] ** 2).sum()  # pad rows are don't-care
+        return f
+
+    args = (x, w_in, b_in, w_out, b_out)
+    v_pl, g_pl = jax.value_and_grad(
+        make("pallas"), argnums=tuple(range(5)))(*args)
+    v_xla, g_xla = jax.value_and_grad(
+        make("xla"), argnums=tuple(range(5)))(*args)
+    assert abs(float(v_pl - v_xla)) / abs(float(v_xla)) < 1e-5
+    for name, a, c in zip(("dx", "dwin", "dbin", "dwout", "dbout"),
+                          g_pl, g_xla):
+        rel = float(jnp.linalg.norm(a - c) / (jnp.linalg.norm(c) + 1e-30))
+        assert rel < 1e-5, (name, rel)
+    # and the masking is real: n_actual changes the real-row value
+    v_dense = make("pallas")(*args)
+    full = fused_torch_mha(x, w_in, b_in, w_out, b_out, mask, h,
+                           keep=keep, interpret=True, train_impl="pallas")
+    assert float(v_dense) != float((full[:, :n_act] ** 2).sum())
+
+
+def test_keep_zero_raises_and_model_falls_back():
+    """keep<=0 raises a clear error in the kernel API; the model-level
+    gate routes dropout_rate=1.0 to the nn.Dropout path (which returns
+    zeroed attention weights without crashing)."""
+    from sfc_vit_tpu.models import layers as L
+    from sfc_vit_tpu.models import simple_vit as _sv
+
+    rng = np.random.default_rng(5)
+    b, n, d, h = 2, 16, 128, 2
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    w_in, b_in, w_out, b_out = _params(rng, d)
+    mask = jnp.ones((b, h, n, n), jnp.float32)
+    with pytest.raises(ValueError, match="keep > 0"):
+        fused_torch_mha(x, w_in, b_in, w_out, b_out, mask, h,
+                        keep=0.0, interpret=True)
+
+    mha = L.TorchMultiHeadAttention(dim=d, n_heads=h, dropout_rate=1.0)
+    variables = mha.init({"params": jax.random.key(0)}, x,
+                         deterministic=True)
+    old = _sv._FORCE_FUSED
+    _sv._FORCE_FUSED = True
+    try:
+        out = mha.apply(variables, x, deterministic=False,
+                        rngs={"dropout": jax.random.key(1)})
+    finally:
+        _sv._FORCE_FUSED = old
+    # every attention probability dropped -> only out_proj bias remains
+    want = jnp.broadcast_to(
+        variables["params"]["out_proj"]["bias"], (b, n, d))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dtype_none_promotes_like_nn_dense():
+    """dtype=None + bf16 input computes (and returns) fp32, matching
+    stock nn.Dense(dtype=None) promotion with fp32 params."""
+    from sfc_vit_tpu.models import layers as L
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 16, 128)), jnp.bfloat16)
+    mha = L.TorchMultiHeadAttention(dim=128, n_heads=2, dropout_rate=0.0)
+    variables = mha.init({"params": jax.random.key(0)}, x,
+                         deterministic=True)
+    out = mha.apply(variables, x, deterministic=True)
+    assert out.dtype == jnp.float32
+
+
 def test_fits_gates():
     assert torch_mha_fits(64, 768, 2, 4, save_acts=True)
     assert torch_mha_bwd_fits(64, 768, 2, 4)

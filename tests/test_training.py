@@ -214,3 +214,8 @@ def test_train_step_rbg_dropout_key():
     l0 = jax.tree_util.tree_leaves(state.params)[0]
     l1 = jax.tree_util.tree_leaves(s1.params)[0]
     assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    # the rbg re-wrap must also accept a NON-threefry step rng (its
+    # key_data is 4 words, not 2 -- the wrap derives seed words with
+    # random.bits, impl-agnostic)
+    _, m3 = step(state, (x, y), jax.random.key(3, impl="rbg"))
+    assert np.isfinite(float(m3["loss"]))
