@@ -11,6 +11,7 @@ Re-designed TPU-first with the capabilities of the reference
 * ``training``    -- jitted train/eval steps, optax, Orbax checkpointing
 * ``parallel``    -- device meshes, shardings, collectives
 * ``data``        -- input pipelines and on-device augmentations
+* ``serving``     -- AOT-compiled fixed-shape inference (+ int8 weights)
 """
 
 __version__ = "0.1.0"

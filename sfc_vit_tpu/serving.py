@@ -1,0 +1,249 @@
+"""Production serving: ahead-of-time-compiled fixed-shape inference.
+
+The reference ships no serving path (its product is the training script,
+``/root/reference/main.py:269-324``); this module is the TPU-native
+deployment story for the same models:
+
+* **Compile once, serve forever.**  Every batch shape is lowered and
+  compiled ahead of time (``jax.jit(...).lower(...).compile()``) at
+  engine build; requests run pre-built executables with zero tracing or
+  compile-cache lookups on the hot path.  On the remote-XLA backend a
+  ViT-B compile is minutes (CLAUDE.md), so serving processes must never
+  trace at request time.
+* **Fixed shapes.**  Ragged request batches are padded up to the
+  smallest compiled batch size (XLA executables are shape-specialized;
+  padding is the TPU-native answer to dynamic batch sizes).
+* **int8-resident weights** (``weights='int8'``): Dense kernels are
+  discovered on the live backend (:func:`~sfc_vit_tpu.quant.int8.
+  discover_dense_paths` — fused-kernel params are backend-dependent and
+  must not be stripped), quantized per-channel, and the bf16 originals
+  replaced with placeholders.  Measured on-chip: **0.52× weight memory
+  AND +46% img/s** on the memory-bound flagship config
+  (``results/r3_int8_serving.json``, RESULTS.md round 3).
+* **Process-separated deployment** via :func:`jax.export`: the compiled
+  computation serializes to bytes (StableHLO), so a build farm can
+  compile and version executables while servers just deserialize and
+  call.  Weights travel separately through the Orbax checkpoints the
+  training stack already writes (``training/checkpoint.py``).
+
+Params are always passed as executable *arguments*, never baked as
+constants — constants ship inside the HLO on every compile RPC (HTTP
+413 at ViT-B size, CLAUDE.md) and defeat weight hot-swap.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _as_variables(params) -> dict:
+    """Normalize to a flax variables dict ``{'params': ...}``."""
+    if isinstance(params, dict) and "params" in params:
+        return dict(params)
+    return {"params": params}
+
+
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+def _tree_nbytes(tree) -> int:
+    return int(sum(
+        a.size * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(tree)
+        if hasattr(a, "dtype")
+    ))
+
+
+def _sds(tree):
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        tree,
+    )
+
+
+class ServingEngine:
+    """AOT-compiled inference over a fixed set of batch sizes.
+
+    Args:
+      model: any model in this framework (``SimpleViT``, ``CurveViT``,
+        ``VisionTransformer1D``, ...) whose ``__call__`` takes
+        ``(images, deterministic=...)``.
+      params: flax params (``{'params': ...}`` or the inner tree), e.g.
+        restored from an Orbax checkpoint.
+      image_shape: per-image ``(H, W, C)``.
+      batch_sizes: batch shapes to compile.  Each costs one XLA compile
+        at build; requests pad to the smallest covering size.
+      dtype: cast floating params (and inputs) to this dtype; default
+        keeps them as passed (use ``jnp.bfloat16`` on TPU).
+      weights: ``'native'`` serves the params as-is; ``'int8'`` builds a
+        per-channel int8 side-table for every ``nn.Dense`` the serving
+        path actually reads and strips the originals.
+      apply_kwargs: extra kwargs for ``model.apply`` (merged over
+        ``deterministic=True``).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        image_shape: Tuple[int, int, int],
+        batch_sizes: Sequence[int] = (256,),
+        dtype: Optional[jnp.dtype] = None,
+        weights: str = "native",
+        **apply_kwargs,
+    ):
+        if not batch_sizes:
+            raise ValueError("need at least one batch size to compile")
+        if weights not in ("native", "int8"):
+            raise ValueError(f"weights={weights!r}: 'native' or 'int8'")
+        self.model = model
+        self.image_shape = tuple(image_shape)
+        self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
+        self.dtype = dtype
+        self._kw = {"deterministic": True, **apply_kwargs}
+
+        variables = _as_variables(params)
+        if dtype is not None:
+            variables = _cast_floats(variables, dtype)
+
+        if weights == "int8":
+            from .quant.int8 import (
+                discover_dense_paths,
+                quantize_dense_params,
+                strip_quantized_kernels,
+            )
+
+            sample = jnp.zeros(
+                (1, *self.image_shape), dtype or jnp.float32
+            )
+            paths = discover_dense_paths(
+                model, variables, sample, **self._kw
+            )
+            self._qtable = quantize_dense_params(variables, paths=paths)
+            variables = strip_quantized_kernels(variables, self._qtable)
+            variables = _as_variables(variables)
+        else:
+            self._qtable = {}
+
+        self.variables = jax.device_put(variables)
+        self._qtable = jax.device_put(self._qtable)
+
+        model_ref = model
+        kw = self._kw
+
+        def forward(vars_, qtable, x):
+            if qtable:
+                from .quant.int8 import quantized_apply
+
+                return quantized_apply(model_ref, vars_, qtable, x, **kw)
+            return model_ref.apply(vars_, x, **kw)
+
+        self._forward = forward
+        self._jitted = jax.jit(forward)
+        self._compiled: Dict[int, jax.stages.Compiled] = {}
+        self.compile()
+
+    # -- build ---------------------------------------------------------
+
+    def _input_sds(self, bs: int):
+        return jax.ShapeDtypeStruct(
+            (bs, *self.image_shape), self.dtype or jnp.float32
+        )
+
+    def compile(self) -> None:
+        """AOT-compile one executable per batch size (idempotent)."""
+        for bs in self.batch_sizes:
+            if bs not in self._compiled:
+                self._compiled[bs] = self._jitted.lower(
+                    _sds(self.variables), _sds(self._qtable),
+                    self._input_sds(bs),
+                ).compile()
+
+    def weight_bytes(self) -> int:
+        """Resident weight memory: params tree + int8 side-table."""
+        return _tree_nbytes(self.variables) + _tree_nbytes(self._qtable)
+
+    # -- serve ---------------------------------------------------------
+
+    def _covering_bs(self, n: int) -> int:
+        for bs in self.batch_sizes:
+            if bs >= n:
+                return bs
+        return self.batch_sizes[-1]
+
+    def _run(self, xs: jnp.ndarray) -> jnp.ndarray:
+        return self._compiled[xs.shape[0]](
+            self.variables, self._qtable, xs
+        )
+
+    def predict(self, images) -> np.ndarray:
+        """Logits for ``images`` ``[N, H, W, C]`` (any N ≥ 1).
+
+        Full chunks run at the largest compiled batch size; the ragged
+        tail pads to the smallest covering compiled size and the pad
+        rows are dropped from the output.
+        """
+        x = jnp.asarray(images, self.dtype or jnp.float32)
+        if x.ndim == len(self.image_shape):  # single image
+            x = x[None]
+        if x.shape[1:] != self.image_shape:
+            raise ValueError(
+                f"expected images of shape {self.image_shape}, got "
+                f"{x.shape[1:]}"
+            )
+        n = x.shape[0]
+        big = self.batch_sizes[-1]
+        outs = []
+        i = 0
+        while n - i >= big:
+            outs.append(self._run(x[i:i + big]))
+            i += big
+        if i < n:
+            rem = n - i
+            bs = self._covering_bs(rem)
+            tail = jnp.zeros((bs, *self.image_shape), x.dtype)
+            tail = tail.at[:rem].set(x[i:])
+            outs.append(self._run(tail)[:rem])
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+
+    def predict_classes(self, images) -> np.ndarray:
+        return np.argmax(self.predict(images), axis=-1)
+
+    # -- export --------------------------------------------------------
+
+    def export_serialized(self) -> Dict[int, bytes]:
+        """StableHLO bytes per batch size (``jax.export``).
+
+        Servers rebuild the callable with :func:`deserialize_forward`
+        and feed it the checkpointed params — the serialized artifact
+        contains the *computation* only (no weights baked in).
+        """
+        from jax import export as jexport
+
+        blobs = {}
+        for bs in self.batch_sizes:
+            exp = jexport.export(self._jitted)(
+                _sds(self.variables), _sds(self._qtable),
+                self._input_sds(bs),
+            )
+            blobs[bs] = exp.serialize()
+        return blobs
+
+
+def deserialize_forward(blob: bytes):
+    """Rebuild a serving callable ``f(variables, qtable, images)`` from
+    :meth:`ServingEngine.export_serialized` output."""
+    from jax import export as jexport
+
+    exp = jexport.deserialize(blob)
+    return exp.call

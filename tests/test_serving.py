@@ -1,0 +1,73 @@
+"""ServingEngine: AOT-compiled fixed-shape inference (serving.py) —
+padding-exact batching, int8-resident weights, export round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfc_vit_tpu.models import SimpleViT
+from sfc_vit_tpu.serving import ServingEngine, deserialize_forward
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = SimpleViT(
+        image_size=16, patch_size=4, num_classes=7, dim=64, depth=2,
+        heads=2, mlp_dim=96, dim_head=32, attn_impl="xla",
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((13, 16, 16, 3)),
+        jnp.float32,
+    )
+    params = model.init({"params": jax.random.key(0)}, x[:1])
+    return model, params, x
+
+
+def test_predict_matches_direct_apply(tiny):
+    model, params, x = tiny
+    eng = ServingEngine(model, params, image_shape=(16, 16, 3),
+                        batch_sizes=(4, 8))
+    got = eng.predict(x)  # 13 = 8 + padded-tail(5 -> 8)
+    want = np.asarray(model.apply(params, x, deterministic=True))
+    assert got.shape == (13, 7)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+    # single image (auto-unsqueeze) pads to the smallest batch
+    one = eng.predict(x[0])
+    np.testing.assert_allclose(one, want[:1], rtol=2e-5, atol=2e-6)
+    # classes helper
+    assert eng.predict_classes(x).shape == (13,)
+    # shape validation
+    with pytest.raises(ValueError, match="expected images"):
+        eng.predict(np.zeros((2, 8, 8, 3), np.float32))
+
+
+def test_int8_weights_shrink_and_stay_close(tiny):
+    model, params, x = tiny
+    native = ServingEngine(model, params, image_shape=(16, 16, 3),
+                           batch_sizes=(8,))
+    quant = ServingEngine(model, params, image_shape=(16, 16, 3),
+                          batch_sizes=(8,), weights="int8")
+    # every Dense is interceptor-reachable on CPU (no fused kernels), so
+    # stripping must shrink resident weight memory
+    assert quant.weight_bytes() < native.weight_bytes()
+    a = native.predict(x[:8])
+    b = quant.predict(x[:8])
+    # per-channel int8 weight quantization: logits track closely
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.05, rel
+    # and the top-1 decisions agree on this easy case
+    assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.75
+
+
+def test_export_roundtrip(tiny):
+    model, params, x = tiny
+    eng = ServingEngine(model, params, image_shape=(16, 16, 3),
+                        batch_sizes=(4,))
+    blobs = eng.export_serialized()
+    assert set(blobs) == {4}
+    f = deserialize_forward(blobs[4])
+    got = np.asarray(f(eng.variables, eng._qtable, jnp.asarray(
+        x[:4], jnp.float32)))
+    want = eng.predict(x[:4])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
