@@ -65,10 +65,13 @@ def _tree_nbytes(tree) -> int:
 
 
 def _sds(tree):
-    return jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
-        tree,
-    )
+    def one(a):
+        sh = a.sharding if isinstance(a, jax.Array) else None
+        return jax.ShapeDtypeStruct(
+            jnp.shape(a), jnp.asarray(a).dtype, sharding=sh
+        )
+
+    return jax.tree_util.tree_map(one, tree)
 
 
 class ServingEngine:
@@ -88,6 +91,10 @@ class ServingEngine:
       weights: ``'native'`` serves the params as-is; ``'int8'`` builds a
         per-channel int8 side-table for every ``nn.Dense`` the serving
         path actually reads and strips the originals.
+      data_parallel: shard every batch over this many chips (params
+        replicated, inputs split on the leading axis — each chip runs
+        its slice with no collectives).  Batch sizes must be divisible
+        by it.
       apply_kwargs: extra kwargs for ``model.apply`` (merged over
         ``deterministic=True``).
     """
@@ -100,6 +107,7 @@ class ServingEngine:
         batch_sizes: Sequence[int] = (256,),
         dtype: Optional[jnp.dtype] = None,
         weights: str = "native",
+        data_parallel: int = 1,
         **apply_kwargs,
     ):
         if not batch_sizes:
@@ -111,6 +119,27 @@ class ServingEngine:
         self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
         self.dtype = dtype
         self._kw = {"deterministic": True, **apply_kwargs}
+        if data_parallel > 1:
+            bad = [b for b in self.batch_sizes if b % data_parallel]
+            if bad:
+                raise ValueError(
+                    f"batch sizes {bad} not divisible by "
+                    f"data_parallel={data_parallel}"
+                )
+            from .parallel.mesh import (
+                batch_sharding, make_mesh, replicated,
+            )
+
+            self.mesh = make_mesh(
+                data=data_parallel,
+                devices=jax.devices()[:data_parallel],
+            )
+            self._x_sharding = batch_sharding(self.mesh)
+            self._param_sharding = replicated(self.mesh)
+        else:
+            self.mesh = None
+            self._x_sharding = None
+            self._param_sharding = None
 
         variables = _as_variables(params)
         if dtype is not None:
@@ -135,8 +164,16 @@ class ServingEngine:
         else:
             self._qtable = {}
 
-        self.variables = jax.device_put(variables)
-        self._qtable = jax.device_put(self._qtable)
+        if self._param_sharding is not None:
+            self.variables = jax.device_put(
+                variables, self._param_sharding
+            )
+            self._qtable = jax.device_put(
+                self._qtable, self._param_sharding
+            )
+        else:
+            self.variables = jax.device_put(variables)
+            self._qtable = jax.device_put(self._qtable)
 
         model_ref = model
         kw = self._kw
@@ -157,7 +194,8 @@ class ServingEngine:
 
     def _input_sds(self, bs: int):
         return jax.ShapeDtypeStruct(
-            (bs, *self.image_shape), self.dtype or jnp.float32
+            (bs, *self.image_shape), self.dtype or jnp.float32,
+            sharding=self._x_sharding,
         )
 
     def compile(self) -> None:
@@ -182,6 +220,8 @@ class ServingEngine:
         return self.batch_sizes[-1]
 
     def _run(self, xs: jnp.ndarray) -> jnp.ndarray:
+        if self._x_sharding is not None:
+            xs = jax.device_put(xs, self._x_sharding)
         return self._compiled[xs.shape[0]](
             self.variables, self._qtable, xs
         )

@@ -60,6 +60,22 @@ def test_int8_weights_shrink_and_stay_close(tiny):
     assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.75
 
 
+def test_data_parallel_serving_matches_single(tiny):
+    """data_parallel=4 on the 8-CPU mesh: params replicated, batch
+    sharded, per-example logits identical to the unsharded engine."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    model, params, x = tiny
+    plain = ServingEngine(model, params, image_shape=(16, 16, 3),
+                          batch_sizes=(8,))
+    dp = ServingEngine(model, params, image_shape=(16, 16, 3),
+                       batch_sizes=(8,), data_parallel=4)
+    np.testing.assert_allclose(
+        dp.predict(x), plain.predict(x), rtol=2e-5, atol=2e-6)
+    with pytest.raises(ValueError, match="not divisible"):
+        ServingEngine(model, params, image_shape=(16, 16, 3),
+                      batch_sizes=(6,), data_parallel=4)
+
+
 def test_export_roundtrip(tiny):
     model, params, x = tiny
     eng = ServingEngine(model, params, image_shape=(16, 16, 3),
