@@ -1,0 +1,103 @@
+"""On-chip ServingEngine measurement: AOT serving throughput + latency,
+native vs int8-resident weights, in ONE process (CLAUDE.md A/B rule).
+
+The flagship (family A) config is the memory-bound one where int8 wins
+(results/r3_int8_serving.json measured the raw quant path at 0.52x
+weight memory / +46% img/s); this script measures the same effect
+through the deployment surface users actually call.
+
+Instrument notes (this rig): every dispatched executable call carries
+~40 ms of HTTP-tunnel overhead, so ABSOLUTE per-call numbers here are
+tunnel-bound, not TPU-bound — the native-vs-int8 RATIO is the
+measurement (both sides pay identical overhead).  Inputs are
+device-put once outside the timed region; readback is the logits
+([bs, 10] — KBs, not MBs).
+
+Usage:
+    PYTHONPATH=/root/.axon_site:/root/repo nohup python \
+        scripts/r3_serving_onchip.py > /tmp/r3_serving.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_calls(eng, x_dev, reps):
+    """min wall over reps of one compiled call, logits readback forced."""
+    np.asarray(eng._run(x_dev))  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(eng._run(x_dev))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    from sfc_vit_tpu.registry import build_model, preset_config
+    from sfc_vit_tpu.serving import ServingEngine
+
+    print("devices:", jax.devices(), flush=True)
+    cfg = preset_config("flagship", dtype="bfloat16")
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.bfloat16)
+    params = model.init({"params": jax.random.key(0)}, x1)
+
+    # amortize the ~40 ms/dispatch tunnel overhead (env override for
+    # the CPU smoke: R3_SERVING_BS=64 runs the same code path small)
+    big = int(os.environ.get("R3_SERVING_BS", 2048))
+    x_host = rng.standard_normal((big, 32, 32, 3))
+
+    results = {"note": "absolute numbers carry ~40ms/call tunnel "
+                       "overhead; the int8/native ratio is the "
+                       "measurement"}
+    engines = {}
+    for mode in ("native", "int8"):
+        t0 = time.perf_counter()
+        eng = ServingEngine(
+            model, params, image_shape=(32, 32, 3),
+            batch_sizes=(8, big), dtype=jnp.bfloat16, weights=mode,
+        )
+        build_s = time.perf_counter() - t0
+        x_dev = jax.device_put(jnp.asarray(x_host, jnp.bfloat16))
+        wall = _time_calls(eng, x_dev, reps=8)
+        lat8 = _time_calls(eng, x_dev[:8], reps=20)
+        results[mode] = {
+            "build_s": round(build_s, 2),
+            "weight_bytes": eng.weight_bytes(),
+            "images_per_sec": round(big / wall, 1),
+            "batch8_latency_ms": round(lat8 * 1e3, 3),
+        }
+        engines[mode] = eng
+        print(mode, results[mode], flush=True)
+
+    # correctness cross-check on one batch through the public API
+    a = engines["native"].predict(x_host[:64])
+    b = engines["int8"].predict(x_host[:64])
+    rel = float(np.linalg.norm(a - b) / np.linalg.norm(a))
+    results["int8_logit_rel_l2"] = round(rel, 5)
+
+    n = results["native"]; q = results["int8"]
+    results["int8_vs_native"] = {
+        "weight_mem_ratio": round(q["weight_bytes"] / n["weight_bytes"], 3),
+        "throughput_ratio": round(
+            q["images_per_sec"] / n["images_per_sec"], 3),
+    }
+    with open("results/r3_serving_onchip.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
