@@ -44,11 +44,20 @@ def _time_calls(eng, x_dev, reps):
 
 
 def main():
-    from sfc_vit_tpu.registry import build_model, preset_config
+    from sfc_vit_tpu.registry import ModelConfig, build_model
     from sfc_vit_tpu.serving import ServingEngine
 
     print("devices:", jax.devices(), flush=True)
-    cfg = preset_config("flagship", dtype="bfloat16")
+    # the family-A ViT-B-width config from results/r3_int8_serving.json
+    # (every projection interceptor-reachable; int8 measured 0.52x
+    # memory / +46% img/s on the raw quant path) -- same config through
+    # the deployment surface.
+    cfg = ModelConfig(
+        model="vit1d", tokenizer="hierarchical", curve="morton",
+        img_size=32, patch_size_list=(16, 4, 1), embed_dim=768,
+        depth=12, n_heads=12, mlp_dim=3072, num_classes=1000,
+        dtype="bfloat16", attn_impl="auto",
+    )
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     x1 = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.bfloat16)
@@ -56,7 +65,7 @@ def main():
 
     # amortize the ~40 ms/dispatch tunnel overhead (env override for
     # the CPU smoke: R3_SERVING_BS=64 runs the same code path small)
-    big = int(os.environ.get("R3_SERVING_BS", 2048))
+    big = int(os.environ.get("R3_SERVING_BS", 512))
     x_host = rng.standard_normal((big, 32, 32, 3))
 
     results = {"note": "absolute numbers carry ~40ms/call tunnel "
