@@ -3,6 +3,7 @@ the torch reference serves fp32/amp only, ``main.py:158-159``)."""
 
 from .int8 import (
     calibrate_activations,
+    dequantize_weight,
     discover_dense_paths,
     dynamic_quantize,
     int8_dense,
@@ -15,6 +16,7 @@ from .int8 import (
 
 __all__ = [
     "calibrate_activations",
+    "dequantize_weight",
     "discover_dense_paths",
     "dynamic_quantize",
     "int8_dense",

@@ -23,6 +23,16 @@ params tree is still what ``apply`` receives -- bypassed Dense kernels
 are simply never read -- which keeps checkpoints, param sharding and
 the fp/bf16 path untouched.
 
+Params consumed by the fused Pallas kernels are held in
+``_DenseParams`` holder modules (``models/simple_vit.py``) rather than
+``nn.Dense`` -- the kernel, not a Dense call, does the GEMM.  Those
+are intercepted at the *holder*: the interceptor returns the
+dequantized weight ``w_i8 * scale`` (weight-only quantization,
+:func:`dequantize_weight`), so the resident copy is int8 and the
+kernel consumes a transient bf16/fp32 view.  This keeps the full
+int8 residency win under ``attn_impl='auto'`` (family-A in/out
+projections are 54% of the ViT-B-width flagship's weights).
+
 The reference has no quantization story (it serves fp32/amp torch,
 ``main.py:158-159``); this is new TPU-native serving capability, kept
 opt-in (``bench.py --quant int8``, ``quant_study.py`` for the accuracy
@@ -46,7 +56,17 @@ __all__ = [
     "calibrate_activations",
     "intercept_dense",
     "quantized_apply",
+    "dequantize_weight",
 ]
+
+
+def _holder_type():
+    """The fused-kernel param-holder module class (lazy import: quant
+    must stay importable without pulling the model stack at module
+    import time)."""
+    from ..models.simple_vit import _DenseParams
+
+    return _DenseParams
 
 
 def quantize_weight(
@@ -158,13 +178,13 @@ def quantize_dense_params(
       CPU-discovered paths differ from TPU's).
     * ``paths=None`` with ``model=`` (+ ``sample=``) — auto-discovers
       via :func:`discover_dense_paths` on the current backend.
-    * ``paths="all"`` — every 2-D kernel leaf.  ONLY safe when no fused
-      block kernel is active: with the fused kernels (the TPU ``auto``
-      default for both model families), encoder projections
-      (``to_qkv``/``fc1``/...) are 2-D kernel leaves that never pass
-      through ``nn.Dense`` — quantizing them is a silent no-op, and
-      ``strip_quantized_kernels`` on such a table would hand the fused
-      serving path zeroed placeholder weights.
+    * ``paths="all"`` — every 2-D kernel leaf.  Fused-kernel holder
+      params (``to_qkv``/``in_proj``/...) are fine under discovery
+      (the interceptor serves them weight-only at the holder), but
+      "all" also sweeps in 2-D kernels that are NEITHER Dense nor
+      holder reads (e.g. mixer einsum params) — quantizing those is a
+      silent no-op and stripping them hands the model zeroed
+      placeholders.  Keep discovery-gated unless you know the tree.
 
     ``paths=None`` without a model raises (the warn-and-proceed
     combination was exactly the broken case above).
@@ -199,11 +219,16 @@ def quantize_dense_params(
             # not an interceptor-reachable nn.Dense (e.g. fused-kernel
             # params); see discover_dense_paths
             continue
-        w_i8, scale = quantize_weight(jnp.asarray(leaf["kernel"]))
+        kernel = jnp.asarray(leaf["kernel"])
+        w_i8, scale = quantize_weight(kernel)
         table[path] = {
             "w": w_i8,
             "scale": scale,
             "bias": jnp.asarray(leaf["bias"]) if "bias" in leaf else None,
+            # 0-d dtype marker: holder interception must hand back the
+            # ORIGINAL kernel dtype or callers' promote_types(x, w)
+            # would silently upgrade bf16 serving to fp32 GEMMs.
+            "wdt": jnp.zeros((), kernel.dtype),
         }
         if act_scales and path in act_scales:
             table[path]["x_scale"] = jnp.asarray(
@@ -213,21 +238,29 @@ def quantize_dense_params(
 
 
 def discover_dense_paths(model: nn.Module, params, sample, **apply_kwargs):
-    """Set of module paths of ``nn.Dense`` layers that actually run.
+    """Set of module paths the int8 interceptor can serve.
 
-    Kernel-fused blocks (e.g. the fused MLP in
-    ``models/simple_vit.py::_FeedForward``) consume their params
-    directly — their kernels exist in the tree but no ``nn.Dense`` call
-    happens, so the int8 interceptor can never reach them.  Build
-    quantization tables restricted to these paths
-    (``quantize_dense_params(..., paths=...)``) so ``strip_quantized_
-    kernels`` only strips weights the serving path truly bypasses.
+    Two kinds of quantizable weight reads exist:
+
+    * ``nn.Dense.__call__`` — redirected to :func:`int8_dense`
+      (int8×int8 MXU GEMM past the crossover, else dequant-into-dot).
+    * ``_DenseParams.__call__`` — the param *holders* the fused Pallas
+      kernels (and their surrounding packed GEMMs) read directly.
+      These are served weight-only: the interceptor returns
+      ``dequantize_weight(entry)`` so only the int8 copy is resident.
+
+    Anything else (3-D einsum params, conv kernels, LN) is out of
+    scope; ``quantize_dense_params(paths='all')`` would quantize such
+    2-D kernels into a table nothing reads — keep discovery-gated.
+    Evaluate on the SAME backend you serve on: which branch a module
+    takes (Dense vs holder) is backend/impl-dependent.
     """
     seen = set()
+    holder = _holder_type()
 
     def observer(next_fun, args, kwargs, context):
         if (
-            type(context.module) is nn.Dense
+            type(context.module) in (nn.Dense, holder)
             and context.method_name == "__call__"
         ):
             seen.add(context.module.path)
@@ -236,6 +269,20 @@ def discover_dense_paths(model: nn.Module, params, sample, **apply_kwargs):
     with nn.intercept_methods(observer):
         model.apply(params, sample, **apply_kwargs)
     return seen
+
+
+def dequantize_weight(entry, dtype=None):
+    """Reconstruct the bf16/fp32 kernel view of a qtable entry.
+
+    ``w_i8 [d_in, d_out] * scale [d_out]`` in fp32, cast back to the
+    original kernel dtype (the ``wdt`` marker) so downstream
+    ``promote_types`` sees exactly what the unquantized tree had.
+    """
+    w = entry["w"].astype(jnp.float32) * entry["scale"]
+    dt = dtype or (
+        entry["wdt"].dtype if "wdt" in entry else jnp.float32
+    )
+    return w.astype(dt)
 
 
 def calibrate_activations(
@@ -304,20 +351,29 @@ def intercept_dense(qtable, out_dtype=None):
             logits = model.apply(params, x)
     """
 
+    holder = _holder_type()
+
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
-        if (
-            type(mod) is nn.Dense
-            and context.method_name == "__call__"
-            and mod.path in qtable
-        ):
-            entry = qtable[mod.path]
+        if context.method_name != "__call__" or mod.path not in qtable:
+            return next_fun(*args, **kwargs)
+        entry = qtable[mod.path]
+        if type(mod) is nn.Dense:
             x = args[0]
             dt = out_dtype or mod.dtype or x.dtype
             return int8_dense(
                 x, entry["w"], entry["scale"], entry["bias"], dt,
                 x_scale=entry.get("x_scale"),
             )
+        if type(mod) is holder:
+            # weight-only: hand the caller (a fused Pallas kernel or a
+            # packed GEMM) a dequantized transient view; next_fun is
+            # NOT called — the tree leaf may be a stripped placeholder,
+            # and self.param on it would raise a shape error.
+            w = dequantize_weight(entry)
+            if not mod.use_bias:
+                return w
+            return w, entry["bias"]
         return next_fun(*args, **kwargs)
 
     return interceptor

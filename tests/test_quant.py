@@ -175,9 +175,10 @@ def test_bench_quick_quant_static_cpu():
 
 def test_quant_composes_with_fused_block_path(monkeypatch):
     """With the fused-block kernels engaged (pad-once stack), encoder
-    to_qkv/fc1/... params never pass through nn.Dense — the
-    discover_dense_paths-restricted table must quantize only the
-    reachable layers (patch embed + head) and still serve correctly."""
+    to_qkv/fc1/... params are _DenseParams holder reads, not nn.Dense
+    calls — discovery must include them, the interceptor serves them
+    weight-only (dequantize-on-read feeding the kernel), and stripping
+    them must leave serving intact with int8 the only resident copy."""
     from sfc_vit_tpu.models import SimpleViT
     from sfc_vit_tpu.models import simple_vit as sv
     from sfc_vit_tpu.quant import discover_dense_paths
@@ -194,8 +195,8 @@ def test_quant_composes_with_fused_block_path(monkeypatch):
     monkeypatch.setattr(sv, "_FORCE_FUSED", True)
     paths = discover_dense_paths(m, params, x)
     names = {p[-1] for p in paths}
-    # encoder internals are kernel-consumed, not Dense calls
-    assert "to_qkv" not in names and "fc1" not in names
+    # holder reads are discovered alongside real Dense calls
+    assert "to_qkv" in names and "fc1" in names
     assert "proj" in names and "linear_head" in names
 
     table = quantize_dense_params(params, paths=paths)
@@ -207,8 +208,63 @@ def test_quant_composes_with_fused_block_path(monkeypatch):
         / (jnp.linalg.norm(ref) * jnp.linalg.norm(got) + 1e-9)
     )
     assert cos > 0.99, cos
-    # stripping kernel-consumed weights would break the fused path;
-    # stripping the table's weights must NOT touch them
+    # the fused path never reads the tree copies of holder kernels:
+    # stripping them must change nothing and shrink residency
     stripped = strip_quantized_kernels(params, table)
     enc = stripped["params"]["transformer"]["attn_0"]["to_qkv"]["kernel"]
-    assert enc.shape == (128, 3 * 128)
+    assert enc.shape == (1,)
+    out = quantized_apply(m, stripped, table, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(out))
+
+
+def test_holder_paths_family_a_quantized(monkeypatch):
+    """Family-A in/out projections moved to _DenseParams holders for
+    the fused train-MHA kernel — int8 serving must still cover them
+    (the ViT-B-width flagship keeps 54% of its weights there)."""
+    from sfc_vit_tpu.models.layers import TransformerSeqEncoder
+    from sfc_vit_tpu.quant import discover_dense_paths
+
+    m = TransformerSeqEncoder(
+        dim=64, n_heads=2, hidden_dim=96, n_layers=2, dropout_rate=0.0
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 64)), jnp.float32)
+    params = m.init({"params": jax.random.key(1)}, x)
+
+    paths = discover_dense_paths(m, params, x)
+    names = {p[-1] for p in paths}
+    assert "in_proj" in names and "out_proj" in names, sorted(names)
+    assert "linear1" in names  # unfused MLP on CPU stays nn.Dense
+
+    table = quantize_dense_params(params, paths=paths)
+    ref = m.apply(params, x)
+    stripped = strip_quantized_kernels(params, table)
+    got = quantized_apply(m, stripped, table, x)
+    cos = float(
+        jnp.sum(ref * got)
+        / (jnp.linalg.norm(ref) * jnp.linalg.norm(got) + 1e-9)
+    )
+    assert cos > 0.99, cos
+    # residency actually shrank: in_proj kernel is a placeholder now
+    k = stripped["params"]["layer_0"]["self_attn"]["in_proj"]["kernel"]
+    assert k.shape == (1,)
+
+
+def test_holder_dequant_preserves_dtype():
+    """The wdt marker must hand back the ORIGINAL kernel dtype, or the
+    promote_types(x, w) rule would upgrade bf16 serving to fp32."""
+    from sfc_vit_tpu.quant import dequantize_weight
+
+    w = jnp.asarray(
+        np.random.default_rng(2).standard_normal((32, 16)), jnp.bfloat16
+    )
+    table = quantize_dense_params(
+        {"params": {"mod": {"kernel": w}}}, paths={("mod",)}
+    )
+    back = dequantize_weight(table[("mod",)])
+    assert back.dtype == jnp.bfloat16
+    rel = float(
+        jnp.linalg.norm(back.astype(jnp.float32) - w.astype(jnp.float32))
+        / jnp.linalg.norm(w.astype(jnp.float32))
+    )
+    assert rel < 0.02, rel
