@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline stages over the 'pipe' mesh axis "
                         "(pre-norm ViT families; depth must divide)")
     t.add_argument("--pipeline-microbatches", type=int, default=4)
+    t.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per update "
+                        "(peak activation memory / N; batch size must "
+                        "divide)")
     t.add_argument("--dropout-key-impl", default="auto",
                    choices=["auto", "rbg", "threefry"],
                    help="dropout mask PRNG: auto = TPU hardware RNG "
@@ -162,6 +166,7 @@ def main(argv=None) -> dict:
         pipeline_parallel=args.pipeline_parallel,
         pipeline_microbatches=args.pipeline_microbatches,
         dropout_key_impl=args.dropout_key_impl,
+        grad_accum=args.grad_accum,
     )
     trainer = Trainer(
         model, tcfg, steps_per_epoch=steps,

@@ -35,8 +35,9 @@ projections are 54% of the ViT-B-width flagship's weights).
 
 The reference has no quantization story (it serves fp32/amp torch,
 ``main.py:158-159``); this is new TPU-native serving capability, kept
-opt-in (``bench.py --quant int8``, ``quant_study.py`` for the accuracy
-artifact).
+opt-in (``bench.py --quant int8``; accuracy evidence: the argmax/cosine
+assertions in ``tests/test_quant.py`` and the measured logit rel-L2 in
+``results/r3_serving_onchip.json``).
 """
 
 from __future__ import annotations

@@ -70,12 +70,27 @@ def make_train_step(
     use_mixing: bool = True,
     schedule: Optional[optax.Schedule] = None,
     dropout_key_impl: Optional[str] = "auto",
+    grad_accum: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
     Returns ``step(state, batch, rng) -> (state, metrics)`` where batch
     is ``(images [B,H,W,C], labels [B])``.  Metrics: loss, the
     lambda-weighted accuracy of ``train.py:170-171``, and lr.
+
+    ``grad_accum=A`` splits the batch into A equal microbatches and
+    runs them through a ``lax.scan``, averaging gradients before the
+    single optimizer update — peak activation memory drops to one
+    microbatch's worth (one params-sized fp32 accumulator is added),
+    so effective batch sizes beyond HBM fit on one chip.  Mixing is
+    applied to the FULL batch first (one mixed-pair permutation and
+    one lambda per step, exactly the A=1 semantics); with dropout
+    disabled the update is bit-equivalent to the unaccumulated step
+    (equal-size microbatches: mean-of-microbatch-grads == full-batch
+    grad of the mean loss), with dropout each microbatch draws its own
+    mask stream.  The reference has no equivalent (it fits batch 512
+    on an H100, ``main.py:283``); this is standard large-batch
+    framework capability.
 
     ``dropout_key_impl='rbg'`` re-wraps the dropout key in JAX's RBG
     PRNG: key *derivation* (flax's per-module ``fold_in``) stays
@@ -97,12 +112,10 @@ def make_train_step(
         dropout_key_impl = (
             "rbg" if jax.default_backend() == "tpu" else None
         )
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum={grad_accum}: must be >= 1")
 
-    def step(state: TrainState, batch: Tuple[jnp.ndarray, jnp.ndarray],
-             rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        x, y = batch
-        rng = jax.random.fold_in(rng, state.step)
-        k_mix, k_drop, k_perm = jax.random.split(rng, 3)
+    def _wrap_drop(k_drop):
         if dropout_key_impl and dropout_key_impl != "threefry":
             # 4 words of the step key's output seed the cheap generator;
             # the expensive per-mask bit generation then runs on the
@@ -111,9 +124,14 @@ def make_train_step(
             # key impl works -- rbg/unsafe_rbg keys carry 4-word
             # key_data and reshape(4) on a split pair would be wrong.
             kd = jax.random.bits(k_drop, (4,), jnp.uint32)
-            k_drop = jax.random.wrap_key_data(
-                kd, impl=dropout_key_impl
-            )
+            return jax.random.wrap_key_data(kd, impl=dropout_key_impl)
+        return k_drop
+
+    def step(state: TrainState, batch: Tuple[jnp.ndarray, jnp.ndarray],
+             rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        x, y = batch
+        rng = jax.random.fold_in(rng, state.step)
+        k_mix, k_drop, k_perm = jax.random.split(rng, 3)
         if use_mixing:
             x, y_a, y_b, lam = mix_or_cutmix(
                 k_mix, x, y, mixup_alpha, cutmix_alpha, mix_prob
@@ -122,27 +140,63 @@ def make_train_step(
             y_a = y_b = y
             lam = jnp.float32(1.0)
 
-        def loss_fn(params):
+        def loss_fn(params, xm, ya, yb, kd):
             logits = state.apply_fn(
                 {"params": params},
-                x,
+                xm,
                 deterministic=False,
-                rngs={"dropout": k_drop, "permute": k_perm},
+                # k_perm shared: one curve permutation per STEP, like A=1
+                rngs={"dropout": kd, "permute": k_perm},
             )
-            one_a = jax.nn.one_hot(y_a, num_classes, dtype=jnp.float32)
-            one_b = jax.nn.one_hot(y_b, num_classes, dtype=jnp.float32)
+            one_a = jax.nn.one_hot(ya, num_classes, dtype=jnp.float32)
+            one_b = jax.nn.one_hot(yb, num_classes, dtype=jnp.float32)
             soft = lam * one_a + (1.0 - lam) * one_b
             return soft_target_cross_entropy(logits, soft), logits
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def _acc(preds, ya, yb):
+            return (
+                lam * (preds == ya).astype(jnp.float32)
+                + (1.0 - lam) * (preds == yb).astype(jnp.float32)
+            ).mean()
+
+        if grad_accum == 1:
+            (loss, logits), grads = grad_fn(
+                state.params, x, y_a, y_b, _wrap_drop(k_drop)
+            )
+            acc = _acc(jnp.argmax(logits, axis=-1), y_a, y_b)
+        else:
+            b = x.shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch size {b} not divisible by "
+                    f"grad_accum={grad_accum}"
+                )
+            mb = b // grad_accum
+            xs = (
+                x.reshape(grad_accum, mb, *x.shape[1:]),
+                y_a.reshape(grad_accum, mb),
+                y_b.reshape(grad_accum, mb),
+                jax.random.split(k_drop, grad_accum),
+            )
+
+            def body(g_sum, mbatch):
+                xm, ya, yb, kd = mbatch
+                (loss, logits), g = grad_fn(
+                    state.params, xm, ya, yb, _wrap_drop(kd)
+                )
+                g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+                return g_sum, (loss, _acc(jnp.argmax(logits, -1), ya, yb))
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            g_sum, (losses, accs) = jax.lax.scan(body, g0, xs)
+            grads = jax.tree_util.tree_map(
+                lambda g: g / grad_accum, g_sum
+            )
+            loss, acc = losses.mean(), accs.mean()
+
         new_state = state.apply_gradients(grads=grads)
-        preds = jnp.argmax(logits, axis=-1)
-        acc = (
-            lam * (preds == y_a).astype(jnp.float32)
-            + (1.0 - lam) * (preds == y_b).astype(jnp.float32)
-        ).mean()
         metrics = {"loss": loss, "accuracy": acc}
         if schedule is not None:
             metrics["lr"] = schedule(state.step)

@@ -55,6 +55,7 @@ class TrainConfig:
     model_parallel: int = 1
     pipeline_parallel: int = 1  # stages over the 'pipe' mesh axis
     pipeline_microbatches: int = 4  # GPipe M (bubble = (S-1)/(M+S-1))
+    grad_accum: int = 1  # microbatches per update (activation memory / A)
     # 'auto' = TPU hardware RNG for dropout mask bits (threefry key
     # derivation kept), threefry elsewhere; 'threefry' pins the
     # cross-version-replayable path.  +35% flagship train throughput
@@ -173,6 +174,7 @@ class Trainer:
             use_mixing=config.use_mixing,
             schedule=self.schedule,
             dropout_key_impl=config.dropout_key_impl,
+            grad_accum=config.grad_accum,
         )
         self._train_step = jax.jit(
             train_step,

@@ -219,3 +219,84 @@ def test_train_step_rbg_dropout_key():
     # random.bits, impl-agnostic)
     _, m3 = step(state, (x, y), jax.random.key(3, impl="rbg"))
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=A with dropout off must produce the SAME update as
+    the unaccumulated step: mixing is applied to the full batch before
+    the split, microbatches are equal-sized, and mean-of-microbatch
+    grads equals the full-batch grad of the mean loss.  Family B
+    (SimpleViT) is the dropout-free family — family A's
+    MultiLayerPredictor head carries a hardcoded reference-parity 0.5
+    dropout (vit.py), so its masks differ per microbatch by design."""
+    from sfc_vit_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    model = SimpleViT(
+        image_size=8, patch_size=4, num_classes=4, dim=32,
+        depth=2, heads=2, mlp_dim=64, dim_head=16,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((8, 8, 8, 3)), jnp.float32
+    )
+    y = jnp.arange(8, dtype=jnp.int32) % 4
+    sched = warmup_cosine(1e-3, 0, 20)
+    state = create_train_state(
+        model, jax.random.key(0), x[:2], make_optimizer(sched)
+    )
+    kw = dict(num_classes=4, schedule=sched, use_mixing=True)
+    s1, m1 = jax.jit(make_train_step(**kw))(state, (x, y), jax.random.key(7))
+    s4, m4 = jax.jit(make_train_step(**kw, grad_accum=4))(
+        state, (x, y), jax.random.key(7)
+    )
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m4["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m1["accuracy"]), float(m4["accuracy"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s4.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-7
+        )
+
+
+def test_grad_accum_with_dropout_runs_and_validates():
+    """With dropout each microbatch draws its own mask stream (values
+    differ from A=1 by design); the step must still train, and a batch
+    size that doesn't divide must raise at trace time."""
+    from sfc_vit_tpu.models.vit import VisionTransformer1D
+    from sfc_vit_tpu.tokenizers import PixelCurveEmbedding1D
+    from sfc_vit_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    model = VisionTransformer1D(
+        patch_embed=PixelCurveEmbedding1D(
+            img_size=8, patch_size=4, embed_dim=32, curve="hilbert"),
+        depth=1, n_heads=2, mlp_dim=64, num_classes=4,
+        dropout_rate=0.1, attn_impl="xla",
+    )
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((6, 8, 8, 3)), jnp.float32
+    )
+    y = jnp.arange(6, dtype=jnp.int32) % 4
+    sched = warmup_cosine(1e-3, 0, 20)
+    state = create_train_state(
+        model, jax.random.key(0), x[:2], make_optimizer(sched)
+    )
+    step = jax.jit(make_train_step(num_classes=4, schedule=sched,
+                                   grad_accum=3))
+    s1, m1 = step(state, (x, y), jax.random.key(1))
+    assert np.isfinite(float(m1["loss"]))
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+    bad = jax.jit(make_train_step(num_classes=4, grad_accum=4))
+    with pytest.raises(ValueError, match="not divisible"):
+        bad(state, (x, y), jax.random.key(1))
+    with pytest.raises(ValueError, match="must be >= 1"):
+        make_train_step(num_classes=4, grad_accum=0)
