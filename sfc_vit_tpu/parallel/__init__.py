@@ -15,6 +15,8 @@ from .mesh import (
     PIPE_AXIS,
     apply_param_sharding,
     batch_sharding,
+    global_batch_from_local,
+    host_shard_slice,
     init_distributed,
     make_mesh,
     param_sharding_rules,
@@ -27,6 +29,8 @@ __all__ = [
     "MODEL_AXIS",
     "apply_param_sharding",
     "batch_sharding",
+    "global_batch_from_local",
+    "host_shard_slice",
     "init_distributed",
     "make_mesh",
     "param_sharding_rules",

@@ -25,6 +25,8 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "global_batch_from_local",
+    "host_shard_slice",
     "param_sharding_rules",
     "apply_param_sharding",
 ]
@@ -86,9 +88,54 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a (x, y, ...) tuple with batch-axis sharding."""
+    """Shard a (x, y, ...) tuple over the batch (data) axis.
+
+    Single process: a plain ``device_put``.  Multi-host: ``batch`` is
+    this process's LOCAL shard of the global batch (host-sharded input
+    pipeline -- each host loads ``global_batch / process_count``
+    samples, see :func:`host_shard_slice`); the local arrays are
+    stitched into one global ``jax.Array`` via
+    ``make_array_from_process_local_data``, which only moves each
+    host's data to its own devices (no cross-host gather).  The global
+    batch is the process-order concatenation of the local ones.
+    """
+    if jax.process_count() > 1:
+        return global_batch_from_local(mesh, batch)
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+
+
+def global_batch_from_local(mesh: Mesh, local_batch):
+    """Assemble a data-sharded global batch from per-process shards.
+
+    Works in single-process mode too (the local batch IS the global
+    batch), which is how the hermetic suite exercises the multi-host
+    code path on the 8-virtual-device CPU mesh.
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(
+            sh, np.asarray(a)
+        ),
+        local_batch,
+    )
+
+
+def host_shard_slice(n: int) -> slice:
+    """This process's contiguous slice of an n-sample global batch.
+
+    Multi-host input pipelines index their (identically ordered,
+    identically seeded) dataset view with this slice so the
+    process-order concatenation reassembles the global batch that a
+    single-host run would have produced.  ``n`` must divide evenly.
+    """
+    pc, pi = jax.process_count(), jax.process_index()
+    if n % pc:
+        raise ValueError(
+            f"global batch {n} not divisible by process_count={pc}"
+        )
+    per = n // pc
+    return slice(pi * per, (pi + 1) * per)
 
 
 def param_sharding_rules(value, model_size: int) -> P:

@@ -1,9 +1,12 @@
-"""Structured metrics logging: JSONL + CSV + stdout.
+"""Structured metrics logging: JSONL + CSV + stdout + optional TensorBoard.
 
 Replaces the reference's print/tqdm-only observability
 (``main.py:331-335``) with machine-readable per-epoch records including
 throughput (images/sec/chip -- the BASELINE.md north-star metric the
-reference never measures).
+reference never measures).  TensorBoard event files are written when a
+SummaryWriter implementation is importable (``torch.utils.tensorboard``
+on this image; ``tensorboardX`` as fallback) and ``tensorboard=True``
+-- the sink is optional so the logger stays dependency-free.
 """
 
 from __future__ import annotations
@@ -18,21 +21,41 @@ from typing import Dict, Optional
 __all__ = ["MetricsLogger"]
 
 
+def _summary_writer(logdir):
+    """Best-effort SummaryWriter; None when no backend is importable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        try:
+            from tensorboardX import SummaryWriter
+        except Exception:
+            return None
+    try:
+        return SummaryWriter(log_dir=str(logdir))
+    except Exception:
+        return None
+
+
 class MetricsLogger:
     def __init__(
         self,
         directory: Optional[str | pathlib.Path] = None,
         stdout: bool = True,
+        tensorboard: bool = True,
     ) -> None:
         self.stdout = stdout
         self._jsonl = None
         self._csv_path = None
         self._csv_fields = None
+        self._tb = None
+        self._step = 0
         if directory is not None:
             d = pathlib.Path(directory)
             d.mkdir(parents=True, exist_ok=True)
             self._jsonl = open(d / "metrics.jsonl", "a", buffering=1)
             self._csv_path = d / "metrics.csv"
+            if tensorboard:
+                self._tb = _summary_writer(d / "tensorboard")
         self._t0 = time.time()
 
     def log(self, record: Dict) -> None:
@@ -51,6 +74,17 @@ class MetricsLogger:
                 if new:
                     writer.writeheader()
                 writer.writerow(record)
+        if self._tb is not None:
+            # x-axis: the record's own epoch/step if present, else a
+            # monotonically increasing log index
+            step = record.get("epoch", record.get("step", self._step))
+            self._step += 1
+            for k, v in record.items():
+                if k in ("epoch", "step"):
+                    continue
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    self._tb.add_scalar(k, float(v), int(step))
+            self._tb.flush()
         if self.stdout:
             parts = [
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
@@ -61,3 +95,5 @@ class MetricsLogger:
     def close(self) -> None:
         if self._jsonl is not None:
             self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -615,3 +615,43 @@ def test_trainer_cross_layout_checkpoint_resume(tmp_path):
     assert seq2.maybe_resume()
     assert int(seq2.state.step) == 2
     assert "transformer" in seq2.state.params
+
+
+def test_global_batch_from_local_matches_shard_batch():
+    """Single-process the multi-host assembly path must produce the
+    same data-sharded global array as the device_put fast path (this
+    is how the hermetic suite exercises make_array_from_process_local_
+    data on the 8-virtual-device CPU mesh)."""
+    from sfc_vit_tpu.parallel import global_batch_from_local, make_mesh
+    from sfc_vit_tpu.parallel.mesh import shard_batch
+
+    mesh = make_mesh(data=8)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    y = np.arange(16, dtype=np.int32)
+    a = global_batch_from_local(mesh, (x, y))
+    b = shard_batch(mesh, (x, y))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert a[0].sharding.is_equivalent_to(b[0].sharding, a[0].ndim)
+    # consumable by a jitted data-parallel reduction
+    s = jax.jit(lambda v: v.sum())(a[0])
+    assert float(s) == float(x.sum())
+
+
+def test_host_shard_slice(monkeypatch):
+    """Each process gets a contiguous, process-ordered slice; global
+    batch must divide by process_count."""
+    from sfc_vit_tpu.parallel import host_shard_slice
+
+    assert host_shard_slice(16) == slice(0, 16)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    assert host_shard_slice(16) == slice(8, 12)
+    covered = []
+    for pi in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        sl = host_shard_slice(16)
+        covered.extend(range(sl.start, sl.stop))
+    assert covered == list(range(16))  # exact disjoint cover
+    with pytest.raises(ValueError, match="not divisible"):
+        host_shard_slice(10)
