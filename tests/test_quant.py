@@ -268,3 +268,36 @@ def test_holder_dequant_preserves_dtype():
         / jnp.linalg.norm(w.astype(jnp.float32))
     )
     assert rel < 0.02, rel
+
+
+def test_holder_quant_through_fused_postnorm_tail(monkeypatch):
+    """Family-A fused postnorm-tail (holder-read LN/fc params) must
+    serve from the int8 table through the interceptor: the Pallas
+    kernel consumes computed (dequantized) weight values, interpret
+    mode on CPU."""
+    from sfc_vit_tpu.models import simple_vit as sv
+    from sfc_vit_tpu.models.layers import TransformerSeqEncoder
+    from sfc_vit_tpu.quant import discover_dense_paths
+
+    m = TransformerSeqEncoder(
+        dim=128, n_heads=2, hidden_dim=256, n_layers=1, dropout_rate=0.0
+    )
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 12, 128)), jnp.float32)
+    params = m.init({"params": jax.random.key(3)}, x)
+
+    monkeypatch.setattr(sv, "_FORCE_FUSED", True)
+    paths = discover_dense_paths(m, params, x)
+    names = {p[-1] for p in paths}
+    # fused tail engaged: linear1/linear2 are holder reads now
+    assert ("layer_0", "linear1") in paths, sorted(paths)
+    assert "in_proj" in names
+
+    table = quantize_dense_params(params, paths=paths)
+    ref = m.apply(params, x)
+    stripped = strip_quantized_kernels(params, table)
+    got = quantized_apply(m, stripped, table, x)
+    rel = float(
+        jnp.linalg.norm(ref - got) / (jnp.linalg.norm(ref) + 1e-9)
+    )
+    assert rel < 0.05, rel
