@@ -13,7 +13,6 @@ serialization + the extra params-sized accumulator traffic.
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
@@ -56,7 +55,10 @@ def train_throughput(batch, grad_accum, iters=20):
     )
     step = make_train_step(num_classes=1000, schedule=sched,
                            grad_accum=grad_accum)
-    y = jnp.zeros((batch,), jnp.int32)
+    # spread labels so the 20-step loss stays informative (all-zero
+    # labels memorize to 0.0 and the recorded loss can't catch an
+    # accumulation-math bug, e.g. a missing /A)
+    y = jnp.arange(batch, dtype=jnp.int32) % 1000
 
     @jax.jit
     def run(state, xf, y, key):

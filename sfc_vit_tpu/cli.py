@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient-accumulation microbatches per update "
                         "(peak activation memory / N; batch size must "
                         "divide)")
+    t.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard event files under "
+                        "--workdir (process 0 only)")
     t.add_argument("--dropout-key-impl", default="auto",
                    choices=["auto", "rbg", "threefry"],
                    help="dropout mask PRNG: auto = TPU hardware RNG "
@@ -167,6 +170,7 @@ def main(argv=None) -> dict:
         pipeline_microbatches=args.pipeline_microbatches,
         dropout_key_impl=args.dropout_key_impl,
         grad_accum=args.grad_accum,
+        tensorboard=args.tensorboard,
     )
     trainer = Trainer(
         model, tcfg, steps_per_epoch=steps,
@@ -181,7 +185,9 @@ def main(argv=None) -> dict:
 
         def eval_batches():
             for xb, yb in epoch_batches(
-                test_ds, args.batch_size, shuffle=False, drop_last=False
+                test_ds, args.batch_size, shuffle=False, drop_last=False,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
             ):
                 yield np.asarray(eval_tf0(xb)), yb
 
@@ -212,8 +218,13 @@ def main(argv=None) -> dict:
         epoch = epoch_holder[0]
         epoch_holder[0] += 1
         count = 0
+        # multi-host: each process yields its DISJOINT shard of every
+        # epoch (same seeded permutation, strided split); shard_batch
+        # assembles the process-order global batch on the mesh.
         for xb, yb in epoch_batches(
-            train_ds, args.batch_size, seed=args.seed, epoch=epoch
+            train_ds, args.batch_size, seed=args.seed, epoch=epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         ):
             if count >= steps:
                 break
@@ -231,7 +242,9 @@ def main(argv=None) -> dict:
 
     def eval_data():
         for xb, yb in epoch_batches(
-            test_ds, args.batch_size, shuffle=False, drop_last=False
+            test_ds, args.batch_size, shuffle=False, drop_last=False,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         ):
             yield eval_tf(xb), yb
 

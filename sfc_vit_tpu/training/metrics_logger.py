@@ -6,7 +6,10 @@ throughput (images/sec/chip -- the BASELINE.md north-star metric the
 reference never measures).  TensorBoard event files are written when a
 SummaryWriter implementation is importable (``torch.utils.tensorboard``
 on this image; ``tensorboardX`` as fallback) and ``tensorboard=True``
--- the sink is optional so the logger stays dependency-free.
+is requested -- opt-in (default off) because importing the torch
+SummaryWriter costs seconds of startup nobody asked for, and only
+process 0 writes in multi-host runs (every process writing identical
+scalars into one directory interleaves the curves).
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ class MetricsLogger:
         self,
         directory: Optional[str | pathlib.Path] = None,
         stdout: bool = True,
-        tensorboard: bool = True,
+        tensorboard: bool = False,
     ) -> None:
         self.stdout = stdout
         self._jsonl = None
@@ -55,7 +58,10 @@ class MetricsLogger:
             self._jsonl = open(d / "metrics.jsonl", "a", buffering=1)
             self._csv_path = d / "metrics.csv"
             if tensorboard:
-                self._tb = _summary_writer(d / "tensorboard")
+                import jax
+
+                if jax.process_index() == 0:
+                    self._tb = _summary_writer(d / "tensorboard")
         self._t0 = time.time()
 
     def log(self, record: Dict) -> None:

@@ -174,10 +174,25 @@ def make_train_step(
                     f"grad_accum={grad_accum}"
                 )
             mb = b // grad_accum
+
+            def _strided(a):
+                # microbatch i = rows i::A (STRIDED, not contiguous):
+                # under data-parallel batch sharding (contiguous
+                # per-device blocks of b/D rows) each microbatch then
+                # takes an equal slice from EVERY device's block, so
+                # GSPMD keeps the split local — a contiguous
+                # reshape(A, b/A) would put microbatch 0 entirely on
+                # the first devices and force an all-to-all per step.
+                # Partition choice doesn't affect the update (grads
+                # are averaged over all microbatches).
+                return jnp.moveaxis(
+                    a.reshape(mb, grad_accum, *a.shape[1:]), 1, 0
+                )
+
             xs = (
-                x.reshape(grad_accum, mb, *x.shape[1:]),
-                y_a.reshape(grad_accum, mb),
-                y_b.reshape(grad_accum, mb),
+                _strided(x),
+                _strided(y_a),
+                _strided(y_b),
                 jax.random.split(k_drop, grad_accum),
             )
 

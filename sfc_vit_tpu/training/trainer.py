@@ -56,6 +56,7 @@ class TrainConfig:
     pipeline_parallel: int = 1  # stages over the 'pipe' mesh axis
     pipeline_microbatches: int = 4  # GPipe M (bubble = (S-1)/(M+S-1))
     grad_accum: int = 1  # microbatches per update (activation memory / A)
+    tensorboard: bool = False  # event files under workdir (process 0)
     # 'auto' = TPU hardware RNG for dropout mask bits (threefry key
     # derivation kept), threefry elsewhere; 'threefry' pins the
     # cross-version-replayable path.  +35% flagship train throughput
@@ -187,7 +188,9 @@ class Trainer:
             in_shardings=(state_sh, (bsh, bsh)),
             out_shardings=rep,
         )
-        self.logger = MetricsLogger(config.workdir)
+        self.logger = MetricsLogger(
+            config.workdir, tensorboard=config.tensorboard
+        )
         self.checkpointer = (
             Checkpointer(
                 f"{config.workdir}/checkpoints",

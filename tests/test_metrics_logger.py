@@ -27,10 +27,12 @@ def test_jsonl_and_csv_roundtrip(tmp_path):
 
 
 def test_tensorboard_sink_writes_events(tmp_path):
-    if _summary_writer(tmp_path / "probe") is None:
+    probe = _summary_writer(tmp_path / "probe")
+    if probe is None:
         import pytest
 
         pytest.skip("no SummaryWriter backend on this image")
+    probe.close()  # don't leak the writer thread
     lg = MetricsLogger(tmp_path, stdout=False, tensorboard=True)
     lg.log({"epoch": 1, "train_loss": 2.5, "note": "strings skipped"})
     lg.close()

@@ -655,3 +655,52 @@ def test_host_shard_slice(monkeypatch):
     assert covered == list(range(16))  # exact disjoint cover
     with pytest.raises(ValueError, match="not divisible"):
         host_shard_slice(10)
+
+
+def test_grad_accum_under_data_parallel_sharding():
+    """grad_accum composes with batch sharding: the strided microbatch
+    split keeps each microbatch spread over every device's block (no
+    all-to-all needed) and the sharded accumulated update equals the
+    unsharded A=1 update (dropout-free family B)."""
+    from sfc_vit_tpu.models import SimpleViT
+    from sfc_vit_tpu.parallel import make_mesh
+    from sfc_vit_tpu.parallel.mesh import batch_sharding, replicated
+    from sfc_vit_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+    from sfc_vit_tpu.training.schedules import warmup_cosine
+
+    model = SimpleViT(image_size=8, patch_size=4, num_classes=4, dim=32,
+                      depth=1, heads=2, mlp_dim=64, dim_head=16)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((16, 8, 8, 3)),
+        jnp.float32,
+    )
+    y = jnp.arange(16, dtype=jnp.int32) % 4
+    sched = warmup_cosine(1e-3, 0, 10)
+    state = create_train_state(
+        model, jax.random.key(0), x[:2], make_optimizer(sched)
+    )
+    ref_state, ref_m = jax.jit(
+        make_train_step(num_classes=4, schedule=sched)
+    )(state, (x, y), jax.random.key(5))
+
+    mesh = make_mesh(data=8)
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    state_sh = jax.tree_util.tree_map(lambda _: rep, state)
+    step = jax.jit(
+        make_train_step(num_classes=4, schedule=sched, grad_accum=4),
+        in_shardings=(state_sh, (bsh, bsh), None),
+        out_shardings=(state_sh, rep),
+    )
+    sp = jax.device_put(state, state_sh)
+    bp = (jax.device_put(x, bsh), jax.device_put(y, bsh))
+    got_state, got_m = step(sp, bp, jax.random.key(5))
+    np.testing.assert_allclose(
+        float(ref_m["loss"]), float(got_m["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(got_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-7
+        )
