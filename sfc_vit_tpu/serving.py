@@ -267,23 +267,52 @@ class ServingEngine:
         Servers rebuild the callable with :func:`deserialize_forward`
         and feed it the checkpointed params — the serialized artifact
         contains the *computation* only (no weights baked in).
+
+        The int8 qtable is keyed by module-path TUPLES, which
+        ``jax.export`` cannot serialize (string dict keys only) — the
+        exported signature takes the qtable with ``"/"``-joined string
+        keys instead; :func:`mangle_qtable` converts.
         """
         from jax import export as jexport
 
+        fwd = self._forward
+
+        def forward_strkeys(vars_, qtable_str, x):
+            return fwd(vars_, unmangle_qtable(qtable_str), x)
+
         blobs = {}
         for bs in self.batch_sizes:
-            exp = jexport.export(self._jitted)(
-                _sds(self.variables), _sds(self._qtable),
+            exp = jexport.export(jax.jit(forward_strkeys))(
+                _sds(self.variables), _sds(mangle_qtable(self._qtable)),
                 self._input_sds(bs),
             )
             blobs[bs] = exp.serialize()
         return blobs
 
 
+def mangle_qtable(qtable):
+    """Module-path tuple keys -> "/"-joined strings (export-safe)."""
+    return {"/".join(k): v for k, v in qtable.items()}
+
+
+def unmangle_qtable(qtable_str):
+    """Inverse of :func:`mangle_qtable`."""
+    return {tuple(k.split("/")): v for k, v in qtable_str.items()}
+
+
 def deserialize_forward(blob: bytes):
     """Rebuild a serving callable ``f(variables, qtable, images)`` from
-    :meth:`ServingEngine.export_serialized` output."""
+    :meth:`ServingEngine.export_serialized` output.
+
+    ``qtable`` may be tuple-keyed (an engine's ``_qtable``) or already
+    string-keyed; keys are mangled to the exported signature."""
     from jax import export as jexport
 
     exp = jexport.deserialize(blob)
-    return exp.call
+
+    def call(variables, qtable, images):
+        if qtable and not all(isinstance(k, str) for k in qtable):
+            qtable = mangle_qtable(qtable)
+        return exp.call(variables, qtable, images)
+
+    return call

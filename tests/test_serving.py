@@ -87,3 +87,25 @@ def test_export_roundtrip(tiny):
         x[:4], jnp.float32)))
     want = eng.predict(x[:4])
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_int8_data_parallel_and_export_compose(tiny):
+    """int8-resident weights compose with the data-parallel mesh mode
+    (qtable replicated alongside params) and with jax.export — the
+    full deployment matrix, not just each feature alone."""
+    model, params, x = tiny
+    dp8 = ServingEngine(model, params, image_shape=(16, 16, 3),
+                        batch_sizes=(8,), data_parallel=4,
+                        weights="int8")
+    single = ServingEngine(model, params, image_shape=(16, 16, 3),
+                           batch_sizes=(8,), weights="int8")
+    np.testing.assert_allclose(
+        dp8.predict(x[:8]), single.predict(x[:8]), rtol=2e-5, atol=2e-6)
+    assert dp8.weight_bytes() == single.weight_bytes()
+
+    blobs = single.export_serialized()
+    f = deserialize_forward(blobs[8])
+    got = np.asarray(f(single.variables, single._qtable,
+                       jnp.asarray(x[:8], jnp.float32)))
+    np.testing.assert_allclose(
+        got, single.predict(x[:8]), rtol=2e-5, atol=2e-6)
