@@ -94,8 +94,10 @@ class TorchMultiHeadAttention(nn.Module):
         # Params via holders (identical tree to nn.Dense: in_proj /
         # out_proj {kernel, bias}) so the fused training kernel and the
         # unfused graphs share checkpoints and torch transplants.
-        w_in, b_in = _sv._DenseParams(d, 3 * d, name="in_proj")()
-        w_out, b_out = _sv._DenseParams(d, d, name="out_proj")()
+        in_proj = _sv._DenseParams(d, 3 * d, name="in_proj")
+        out_proj = _sv._DenseParams(d, d, name="out_proj")
+        w_in, b_in = in_proj()
+        w_out, b_out = out_proj()
         # dtype=None matches nn.Dense(dtype=None): promote with the fp32
         # params, so bf16 inputs still get an fp32 matmul (stock-flax
         # numerics for checkpoints that never set a compute dtype).
@@ -148,7 +150,10 @@ class TorchMultiHeadAttention(nn.Module):
                     train_impl=_sv._TRAIN_IMPL,
                 )
 
-        qkv = xc @ w_in + b_in
+        # in-proj through the holder's apply mode (== xc @ w_in + b_in):
+        # lets the int8 serving interceptor route this GEMM to the int8
+        # MXU instead of materializing a dequantized weight view.
+        qkv = in_proj(xc)
         if needs_weights or apply_weight_dropout:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(b, n, self.n_heads, dh)
@@ -180,6 +185,10 @@ class TorchMultiHeadAttention(nn.Module):
             out = packed_qkv_attention(
                 qkv, self.n_heads, implementation=self.attn_impl
             )
+            # out-proj through the holder's apply mode so int8 serving
+            # runs a true int8 MXU GEMM here (interceptor-routable); the
+            # unquantized math is identical to `out @ w_out + b_out`.
+            return out_proj(out)
         return out @ w_out + b_out
 
 

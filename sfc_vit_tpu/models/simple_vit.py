@@ -216,24 +216,44 @@ class _LNParams(nn.Module):
 class _DenseParams(nn.Module):
     """Param holder with ``nn.Dense``'s tree (``kernel``/``bias``) and
     default initializers, so checkpoints/transplants are path-identical
-    whether the fused kernel or the unfused graph consumes them."""
+    whether the fused kernel or the unfused graph consumes them.
+
+    Two call modes:
+
+    * ``holder()`` — return the raw ``kernel`` (``, bias``) leaves for a
+      consumer that does its own GEMM (the fused Pallas kernels).
+    * ``holder(x)`` — apply ``x @ kernel + bias`` in ``x.dtype`` (the
+      same cast-then-matmul the callers used to do inline).  Callers
+      whose GEMM runs in XLA (not inside a Pallas kernel) should use
+      this mode: the int8 serving interceptor (``quant/int8.py``) can
+      then route the whole GEMM to the 2x-rate int8 MXU path instead of
+      serving a dequantized weight view.
+    """
 
     in_dim: int
     features: int
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self):
+    def __call__(self, x: Optional[jnp.ndarray] = None):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (self.in_dim, self.features),
         )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        if x is not None:
+            y = x @ kernel.astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(x.dtype)
+            return y
         if not self.use_bias:
             return kernel
-        return kernel, self.param(
-            "bias", nn.initializers.zeros, (self.features,)
-        )
+        return kernel, bias
 
 
 class _FeedForward(nn.Module):

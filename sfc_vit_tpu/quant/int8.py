@@ -308,35 +308,56 @@ def calibrate_activations(
     calibration data); pass ``margin < 1`` for percentile-style
     clipping if outlier tokens dominate the range.
 
-    Calibration runs ``model.apply`` eagerly (do not wrap this function
-    in ``jit``).  The interceptor only *records* the traced per-Dense
-    amax values; they are concretized with ONE host readback per batch
-    after the apply returns — not one blocking sync per Dense, which on
-    a remote backend would dominate calibration time.
+    The whole per-batch observation is ONE jitted executable (the
+    interceptor records traced amax values during tracing and they
+    come back as the function's outputs): on the remote backend an
+    eager apply would dispatch every primitive over HTTP at ~40 ms
+    each.  Same-shaped batches reuse the compiled executable.
+
+    Both ``nn.Dense`` inputs and holder APPLY-mode inputs
+    (``_DenseParams(x)`` — routed to :func:`int8_dense` at serving
+    time) are recorded; weight-mode holder reads have no activation
+    to calibrate.
     """
     observed: Dict[Tuple[str, ...], float] = {}
+    holder = _holder_type()
+    key_order: list = []
 
-    for batch in batches:
+    def observe_apply(params_, batch):
         pending: Dict[Tuple[str, ...], list] = {}
 
         def observer(next_fun, args, kwargs, context):
             mod = context.module
-            if type(mod) is nn.Dense and context.method_name == "__call__":
+            is_dense = type(mod) is nn.Dense
+            is_holder_apply = (
+                type(mod) is holder
+                and ((args and args[0] is not None)
+                     or kwargs.get("x") is not None)
+            )
+            if (
+                (is_dense or is_holder_apply)
+                and context.method_name == "__call__"
+            ):
                 if paths is None or mod.path in paths:
+                    x = args[0] if args else kwargs["x"]
                     pending.setdefault(mod.path, []).append(
-                        jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                        jnp.max(jnp.abs(x.astype(jnp.float32)))
                     )
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(observer):
-            model.apply(params, batch, **apply_kwargs)
-        if pending:
-            keys = list(pending)
-            stacked = jax.device_get(
-                jnp.stack([jnp.max(jnp.stack(pending[k])) for k in keys])
-            )
-            for k, amax in zip(keys, stacked):
-                observed[k] = max(observed.get(k, 0.0), float(amax))
+            model.apply(params_, batch, **apply_kwargs)
+        keys = sorted(pending)
+        key_order[:] = keys  # same model/paths -> same keys every trace
+        if not keys:
+            return jnp.zeros((0,), jnp.float32)
+        return jnp.stack([jnp.max(jnp.stack(pending[k])) for k in keys])
+
+    jitted = jax.jit(observe_apply)
+    for batch in batches:
+        stacked = jax.device_get(jitted(params, batch))
+        for k, amax in zip(key_order, stacked):
+            observed[k] = max(observed.get(k, 0.0), float(amax))
     return {
         k: jnp.float32(max(v, 1e-8) * margin / 127.0)
         for k, v in observed.items()
@@ -367,7 +388,22 @@ def intercept_dense(qtable, out_dtype=None):
                 x_scale=entry.get("x_scale"),
             )
         if type(mod) is holder:
-            # weight-only: hand the caller (a fused Pallas kernel or a
+            x = args[0] if args else kwargs.get("x")
+            if x is not None:
+                # apply mode (`holder(x)`, an XLA GEMM outside any
+                # Pallas kernel): run the full int8 MXU path — same as
+                # the nn.Dense routing, which measured +46% on the
+                # all-Dense flagship (results/r3_int8_serving.json)
+                # vs +15.8% when these projections were served as
+                # dequantized weight views (results/r3_serving_onchip
+                # .json); the view costs a weight-materialization pass
+                # per call that the int8 dot avoids.
+                return int8_dense(
+                    x, entry["w"], entry["scale"],
+                    entry["bias"] if mod.use_bias else None,
+                    x.dtype, x_scale=entry.get("x_scale"),
+                )
+            # weight mode: hand the caller (a fused Pallas kernel or a
             # packed GEMM) a dequantized transient view; next_fun is
             # NOT called — the tree leaf may be a stripped placeholder,
             # and self.param on it would raise a shape error.

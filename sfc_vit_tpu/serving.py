@@ -91,6 +91,14 @@ class ServingEngine:
       weights: ``'native'`` serves the params as-is; ``'int8'`` builds a
         per-channel int8 side-table for every ``nn.Dense`` the serving
         path actually reads and strips the originals.
+      calibration: optional iterable of sample image batches (only with
+        ``weights='int8'``).  Runs :func:`~sfc_vit_tpu.quant.int8.
+        calibrate_activations` at build and bakes STATIC per-tensor
+        activation scales into the side-table: the quantize becomes a
+        pure elementwise op XLA fuses into the producer's epilogue, so
+        activations stream to the GEMMs as int8 (half the HBM traffic)
+        instead of paying a dynamic per-token max-abs pass.  Without it
+        activations quantize dynamically (zero-setup default).
       data_parallel: shard every batch over this many chips (params
         replicated, inputs split on the leading axis — each chip runs
         its slice with no collectives).  Batch sizes must be divisible
@@ -107,6 +115,7 @@ class ServingEngine:
         batch_sizes: Sequence[int] = (256,),
         dtype: Optional[jnp.dtype] = None,
         weights: str = "native",
+        calibration=None,
         data_parallel: int = 1,
         **apply_kwargs,
     ):
@@ -147,6 +156,7 @@ class ServingEngine:
 
         if weights == "int8":
             from .quant.int8 import (
+                calibrate_activations,
                 discover_dense_paths,
                 quantize_dense_params,
                 strip_quantized_kernels,
@@ -158,11 +168,25 @@ class ServingEngine:
             paths = discover_dense_paths(
                 model, variables, sample, **self._kw
             )
-            self._qtable = quantize_dense_params(variables, paths=paths)
+            act_scales = None
+            if calibration is not None:
+                act_scales = calibrate_activations(
+                    model, variables,
+                    (jnp.asarray(b, dtype or jnp.float32)
+                     for b in calibration),
+                    paths=paths, **self._kw,
+                )
+            self._qtable = quantize_dense_params(
+                variables, paths=paths, act_scales=act_scales
+            )
             variables = strip_quantized_kernels(variables, self._qtable)
             variables = _as_variables(variables)
         else:
             self._qtable = {}
+            if calibration is not None:
+                raise ValueError(
+                    "calibration= only applies with weights='int8'"
+                )
 
         if self._param_sharding is not None:
             self.variables = jax.device_put(

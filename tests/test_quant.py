@@ -301,3 +301,57 @@ def test_holder_quant_through_fused_postnorm_tail(monkeypatch):
         jnp.linalg.norm(ref - got) / (jnp.linalg.norm(ref) + 1e-9)
     )
     assert rel < 0.05, rel
+
+
+def test_holder_apply_mode_matches_inline_gemm():
+    """`_DenseParams(x)` (apply mode) must equal the inline
+    `x @ kernel + bias` the callers used to write — same cast rule."""
+    from sfc_vit_tpu.models.simple_vit import _DenseParams
+
+    m = _DenseParams(24, 40)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 7, 24)), jnp.bfloat16)
+    params = m.init(jax.random.key(0))
+    w, b = m.apply(params)
+    ref = x @ w.astype(x.dtype) + b.astype(x.dtype)
+    got = m.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    assert got.dtype == x.dtype
+
+
+def test_holder_apply_mode_routes_to_int8_dense(monkeypatch):
+    """On the family-A packed inference path the in/out projections are
+    holder APPLY calls: the interceptor must run the true int8 MXU GEMM
+    there (not a dequantized weight view) — that's the serving
+    throughput lever (+46% raw vs +15.8% dequant-view,
+    results/r3_int8_serving.json vs r3_serving_onchip.json)."""
+    from sfc_vit_tpu.models.layers import TransformerSeqEncoder
+    from sfc_vit_tpu.quant import discover_dense_paths, int8
+    m = TransformerSeqEncoder(
+        dim=64, n_heads=2, hidden_dim=96, n_layers=1, dropout_rate=0.0
+    )
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 12, 64)), jnp.float32)
+    params = m.init({"params": jax.random.key(7)}, x)
+
+    paths = discover_dense_paths(m, params, x)
+    table = quantize_dense_params(params, paths=paths)
+
+    hits = []
+    real = int8.int8_dense
+
+    def spy(*args, **kwargs):
+        hits.append(args[1].shape)  # w_i8 shape
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(int8, "int8_dense", spy)
+    ref = m.apply(params, x)
+    got = quantized_apply(m, strip_quantized_kernels(params, table),
+                          table, x)
+    # in_proj [64,192] and out_proj [64,64] ran as int8 GEMMs
+    assert (64, 192) in hits and (64, 64) in hits, hits
+    cos = float(
+        jnp.sum(ref * got)
+        / (jnp.linalg.norm(ref) * jnp.linalg.norm(got) + 1e-9)
+    )
+    assert cos > 0.99, cos

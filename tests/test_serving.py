@@ -109,3 +109,37 @@ def test_int8_data_parallel_and_export_compose(tiny):
                        jnp.asarray(x[:8], jnp.float32)))
     np.testing.assert_allclose(
         got, single.predict(x[:8]), rtol=2e-5, atol=2e-6)
+
+
+def test_int8_static_calibration_close_and_static_scales(tiny):
+    """calibration= bakes static x_scales into the side-table for every
+    activation-carrying read — nn.Dense calls AND holder APPLY calls
+    (family-A in/out projections) — and logits stay close to native.
+    Weight-mode holder reads have no activation and stay dynamic-free
+    (the kernel consumes a dequantized weight view)."""
+    from sfc_vit_tpu.models.layers import TransformerSeqEncoder
+
+    model = TransformerSeqEncoder(
+        dim=64, n_heads=2, hidden_dim=96, n_layers=2, dropout_rate=0.0
+    )
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((13, 12, 64)), jnp.float32)
+    params = model.init({"params": jax.random.key(9)}, x[:1])
+
+    native = ServingEngine(model, params, image_shape=(12, 64),
+                           batch_sizes=(8,))
+    static = ServingEngine(model, params, image_shape=(12, 64),
+                           batch_sizes=(8,), weights="int8",
+                           calibration=[x[:8], x[8:][:5]])
+    scaled = {p[-1] for p, e in static._qtable.items() if "x_scale" in e}
+    # apply-mode holders and plain Denses all calibrated
+    assert {"in_proj", "out_proj", "linear1", "linear2"} <= scaled, scaled
+    a = native.predict(x[:8])
+    b = static.predict(x[:8])
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.06, rel
+    assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.75
+    # calibration without int8 weights is a configuration error
+    with pytest.raises(ValueError, match="calibration"):
+        ServingEngine(model, params, image_shape=(12, 64),
+                      batch_sizes=(8,), calibration=[x[:8]])
