@@ -31,17 +31,23 @@ from jax import lax
 sys.path.insert(0, "/root/repo")
 
 
-def _time(fn, args, iters=12):
+def _scan_time(fn, args, unroll, iters=8):
+    """Total time of `iters` scan steps, `unroll` fn applications each."""
+
     @jax.jit
     def run(*a):
         def body(c, _):
-            out = fn(*a, c)
-            m = out.astype(jnp.float32).mean()
-            return (m * 1e-30).astype(jnp.bfloat16), m
+            m = c
+            for _ in range(unroll):
+                out = fn(*a, m)
+                m = (out.astype(jnp.float32).mean() * 1e-30).astype(
+                    jnp.bfloat16
+                )
+            return m, m
 
         _, outs = lax.scan(body, jnp.zeros((), jnp.bfloat16), None,
                            length=iters)
-        return outs.sum()
+        return outs.astype(jnp.float32).sum()
 
     float(run(*args))
     ts = []
@@ -49,7 +55,16 @@ def _time(fn, args, iters=12):
         t0 = time.perf_counter()
         float(run(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts) / iters
+    return min(ts)
+
+
+def _time(fn, args, iters=8):
+    """Marginal per-call time from the K=4 -> K=12 unroll slope: a K=1
+    carry-chained scan carries ~2.7 ms/iteration of overhead (CLAUDE.md)
+    that would drown the very int8-vs-bf16 ratio this probe measures."""
+    t4 = _scan_time(fn, args, unroll=4, iters=iters)
+    t12 = _scan_time(fn, args, unroll=12, iters=iters)
+    return (t12 - t4) / (8 * iters)
 
 
 def probe(rows, d_in, d_out, tag):

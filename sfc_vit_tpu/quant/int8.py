@@ -339,7 +339,9 @@ def calibrate_activations(
                 and context.method_name == "__call__"
             ):
                 if paths is None or mod.path in paths:
-                    x = args[0] if args else kwargs["x"]
+                    x = args[0] if args else kwargs.get("x")
+                    if x is None:  # nn.Dense spells it `inputs=`
+                        x = kwargs["inputs"]
                     pending.setdefault(mod.path, []).append(
                         jnp.max(jnp.abs(x.astype(jnp.float32)))
                     )
@@ -348,15 +350,29 @@ def calibrate_activations(
         with nn.intercept_methods(observer):
             model.apply(params_, batch, **apply_kwargs)
         keys = sorted(pending)
-        key_order[:] = keys  # same model/paths -> same keys every trace
+        key_order[:] = keys  # read back right after each fresh trace
         if not keys:
             return jnp.zeros((0,), jnp.float32)
         return jnp.stack([jnp.max(jnp.stack(pending[k])) for k in keys])
 
+    # jit caches by batch shape/dtype, and the observer only runs at
+    # trace time — so the key list must be snapshotted per cache entry
+    # (a cache HIT leaves `key_order` holding the keys of whatever
+    # shape traced LAST, which may differ if shape-gated branches
+    # observe different module sets).
     jitted = jax.jit(observe_apply)
+    keys_by_shape: Dict[tuple, list] = {}
     for batch in batches:
+        batch = jnp.asarray(batch)
+        ck = (batch.shape, str(batch.dtype))
         stacked = jax.device_get(jitted(params, batch))
-        for k, amax in zip(key_order, stacked):
+        keys = keys_by_shape.setdefault(ck, list(key_order))
+        if len(keys) != stacked.shape[0]:  # pragma: no cover - guard
+            raise RuntimeError(
+                "calibration key/value mismatch: "
+                f"{len(keys)} keys vs {stacked.shape[0]} values"
+            )
+        for k, amax in zip(keys, stacked):
             observed[k] = max(observed.get(k, 0.0), float(amax))
     return {
         k: jnp.float32(max(v, 1e-8) * margin / 127.0)
@@ -401,7 +417,8 @@ def intercept_dense(qtable, out_dtype=None):
                 return int8_dense(
                     x, entry["w"], entry["scale"],
                     entry["bias"] if mod.use_bias else None,
-                    x.dtype, x_scale=entry.get("x_scale"),
+                    out_dtype or x.dtype,  # holders have no mod.dtype
+                    x_scale=entry.get("x_scale"),
                 )
             # weight mode: hand the caller (a fused Pallas kernel or a
             # packed GEMM) a dequantized transient view; next_fun is

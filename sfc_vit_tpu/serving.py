@@ -176,6 +176,15 @@ class ServingEngine:
                      for b in calibration),
                     paths=paths, **self._kw,
                 )
+                if not act_scales:
+                    raise ValueError(
+                        "calibration= observed no activation scales — "
+                        "the iterable was empty/already consumed, or "
+                        "no quantized read on this model carries an "
+                        "activation. Pass a non-empty list of sample "
+                        "batches, or omit calibration= for dynamic "
+                        "quantization"
+                    )
             self._qtable = quantize_dense_params(
                 variables, paths=paths, act_scales=act_scales
             )

@@ -355,3 +355,81 @@ def test_holder_apply_mode_routes_to_int8_dense(monkeypatch):
         / (jnp.linalg.norm(ref) * jnp.linalg.norm(got) + 1e-9)
     )
     assert cos > 0.99, cos
+
+
+def test_calibration_shape_keyed_key_order():
+    """jit caches by batch shape and the observer only runs at trace
+    time: when shape-gated branches observe DIFFERENT module sets per
+    shape, a cache-hit batch must zip its amax values against the key
+    list snapshotted at ITS OWN trace — not whatever shape traced last
+    (review finding: A,B,A batch order misassigned A's values to B's
+    keys)."""
+    import flax.linen as nn
+
+    from sfc_vit_tpu.quant import calibrate_activations
+
+    class Gated(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            # small batches route through an EXTRA Dense -> the traced
+            # module-call set differs between the two batch shapes
+            if x.shape[0] <= 2:
+                x = nn.Dense(8, name="small_only")(x)
+            return nn.Dense(4, name="shared")(x)
+
+    m = Gated()
+    params = m.init(jax.random.key(0), jnp.ones((2, 8)))
+    big = jnp.full((5, 8), 100.0)       # traces WITHOUT small_only
+    small = jnp.full((2, 8), 1.0)       # traces WITH small_only
+    big2 = jnp.full((5, 8), 300.0)      # cache HIT on big's executable
+
+    scales = calibrate_activations(m, params, [big, small, big2])
+    names = {k[-2] if len(k) > 1 else k[0] for k in scales}
+    assert {"small_only", "shared"} <= names, scales
+    # big2 (amax 300) must land on `shared`, not on small_only's slot
+    by_name = {k[0]: float(v) for k, v in scales.items()}
+    assert by_name["shared"] == pytest.approx(300.0 / 127.0)
+    assert by_name["small_only"] == pytest.approx(1.0 / 127.0)
+
+
+def test_calibration_handles_inputs_keyword():
+    """nn.Dense invoked as dense(inputs=x) must still be observed (its
+    parameter is named `inputs`, not `x`)."""
+    import flax.linen as nn
+
+    from sfc_vit_tpu.quant import calibrate_activations
+
+    class KwCall(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4, name="kw")(inputs=x)
+
+    m = KwCall()
+    params = m.init(jax.random.key(0), jnp.ones((2, 8)))
+    scales = calibrate_activations(m, params, [jnp.full((2, 8), 2.0)])
+    assert scales and float(next(iter(scales.values()))) == \
+        pytest.approx(2.0 / 127.0)
+
+
+def test_holder_apply_mode_honors_out_dtype():
+    """intercept_dense(out_dtype=...) must apply to holder APPLY-mode
+    GEMMs the same way it does to nn.Dense (review finding: the holder
+    branch hardcoded x.dtype)."""
+    import flax.linen as nn
+
+    from sfc_vit_tpu.models.simple_vit import _DenseParams
+    from sfc_vit_tpu.quant.int8 import intercept_dense
+
+    m = _DenseParams(16, 8)
+    params = m.init(jax.random.key(0))
+    table = quantize_dense_params(
+        params, paths={()}
+    )
+    # holder path is () at top level; re-key the table to the module
+    # path intercept_dense sees (top-level module -> path ())
+    x = jnp.ones((3, 16), jnp.bfloat16)
+    with nn.intercept_methods(
+        intercept_dense(table, out_dtype=jnp.float32)
+    ):
+        out = m.apply(params, x)
+    assert out.dtype == jnp.float32
