@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "cross-version-replayable bitstream")
     t.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
+    t.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory: "
+                        "re-runs of the same config skip the 5-20 min "
+                        "cold compile on the remote TPU backend")
     return p
 
 
@@ -138,6 +142,11 @@ def main(argv=None) -> dict:
 
         jax.config.update("jax_platforms", args.platform)
     import jax
+
+    if args.compile_cache:
+        from .utils import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
 
     from .data import epoch_batches, make_eval_transform, make_train_augment
     from .registry import ModelConfig, build_model

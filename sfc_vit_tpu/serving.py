@@ -103,6 +103,11 @@ class ServingEngine:
         replicated, inputs split on the leading axis — each chip runs
         its slice with no collectives).  Batch sizes must be divisible
         by it.
+      compile_cache: optional directory for the persistent XLA
+        compilation cache (:func:`~sfc_vit_tpu.utils.compile_cache.
+        enable_compile_cache`): engine restarts with the same model /
+        batch sizes skip the cold AOT compile — the dominant cost of
+        a serving-process restart on the remote backend.
       apply_kwargs: extra kwargs for ``model.apply`` (merged over
         ``deterministic=True``).
     """
@@ -117,10 +122,15 @@ class ServingEngine:
         weights: str = "native",
         calibration=None,
         data_parallel: int = 1,
+        compile_cache=None,
         **apply_kwargs,
     ):
         if not batch_sizes:
             raise ValueError("need at least one batch size to compile")
+        if compile_cache is not None:
+            from .utils import enable_compile_cache
+
+            enable_compile_cache(compile_cache)
         if weights not in ("native", "int8"):
             raise ValueError(f"weights={weights!r}: 'native' or 'int8'")
         self.model = model

@@ -1,5 +1,12 @@
-"""Utilities: torch interop, config, registries."""
+"""Utilities: torch interop, profiling, compile cache."""
 
-from . import profiling, torch_compat
+from . import compile_cache, profiling, torch_compat
+from .compile_cache import compile_cache_stats, enable_compile_cache
 
-__all__ = ["profiling", "torch_compat"]
+__all__ = [
+    "compile_cache",
+    "compile_cache_stats",
+    "enable_compile_cache",
+    "profiling",
+    "torch_compat",
+]
