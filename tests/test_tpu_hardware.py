@@ -362,3 +362,31 @@ def test_fused_torch_mha_on_chip():
         bf = np.asarray(b_, np.float32).ravel()
         rel = np.linalg.norm(af - bf) / (np.linalg.norm(bf) + 1e-9)
         assert rel < 1e-3, rel
+
+
+def test_int8_serving_engine_on_chip():
+    """ServingEngine int8 (+static calibration) on the real chip: the
+    family-A in/out projections route through true int8 MXU GEMMs
+    (holder APPLY mode) and logits stay close to the native engine."""
+    from sfc_vit_tpu.models.layers import TransformerSeqEncoder
+    from sfc_vit_tpu.serving import ServingEngine
+
+    m = TransformerSeqEncoder(
+        dim=128, n_heads=4, hidden_dim=256, n_layers=2, dropout_rate=0.0
+    )
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((16, 64, 128)).astype(np.float32)
+    params = m.init({"params": jax.random.key(3)},
+                    jnp.asarray(x[:1], jnp.bfloat16))
+
+    native = ServingEngine(m, params, image_shape=(64, 128),
+                           batch_sizes=(16,), dtype=jnp.bfloat16)
+    quant = ServingEngine(m, params, image_shape=(64, 128),
+                          batch_sizes=(16,), dtype=jnp.bfloat16,
+                          weights="int8",
+                          calibration=[x[:8], x[8:]])
+    assert quant.weight_bytes() < native.weight_bytes()
+    a = native.predict(x)
+    b = quant.predict(x)
+    rel = float(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9))
+    assert rel < 0.06, rel
