@@ -267,8 +267,15 @@ def discover_dense_paths(model: nn.Module, params, sample, **apply_kwargs):
             seen.add(context.module.path)
         return next_fun(*args, **kwargs)
 
-    with nn.intercept_methods(observer):
-        model.apply(params, sample, **apply_kwargs)
+    # Interceptors fire during TRACING, so an abstract trace records
+    # the same paths with zero device work — an eager apply would
+    # dispatch every primitive over the remote tunnel at ~40 ms each
+    # just to throw the outputs away.
+    def traced(params_, sample_):
+        with nn.intercept_methods(observer):
+            return model.apply(params_, sample_, **apply_kwargs)
+
+    jax.eval_shape(traced, params, sample)
     return seen
 
 
@@ -447,17 +454,21 @@ def quantized_apply(model: nn.Module, params, qtable, *args, **kwargs):
 
 
 def strip_quantized_kernels(params, qtable):
-    """Replace quantized kernels in ``params`` with 1-element placeholders.
+    """Replace quantized kernels/biases in ``params`` with placeholders.
 
-    The interceptor bypasses those Dense calls entirely, so the leaves
-    are never read; shrinking them halves serving weight memory (bf16
-    originals + int8 copies -> int8 only).  Returns a new tree.
+    The interceptor serves BOTH the weight and the bias from the
+    qtable entry in every mode (Dense, holder apply, holder weight
+    view), so neither leaf is ever read; shrinking them makes int8 the
+    only resident copy (bf16 originals + int8 copies -> int8 only) and
+    keeps ``weight_bytes`` accounting honest.  Returns a new tree.
     """
     tree = unfreeze(params)
     root = tree["params"] if "params" in tree else tree
-    for path in qtable:
+    for path, entry in qtable.items():
         node = root
         for k in path:
             node = node[k]
         node["kernel"] = jnp.zeros((1,), jnp.bfloat16)
+        if "bias" in node and entry.get("bias") is not None:
+            node["bias"] = jnp.zeros((1,), jnp.bfloat16)
     return tree

@@ -270,13 +270,16 @@ class ServingEngine:
         )
 
     def predict(self, images) -> np.ndarray:
-        """Logits for ``images`` ``[N, H, W, C]`` (any N ≥ 1).
+        """Logits for ``images`` ``[N, H, W, C]`` (any N ≥ 0).
 
         Full chunks run at the largest compiled batch size; the ragged
         tail pads to the smallest covering compiled size and the pad
-        rows are dropped from the output.
+        rows are dropped from the output.  The request stays HOST-side
+        and ships one compiled-size chunk at a time: a request larger
+        than HBM (or than the tunnel wants in one upload) must never be
+        materialized on-device whole.
         """
-        x = jnp.asarray(images, self.dtype or jnp.float32)
+        x = np.asarray(images, self.dtype or jnp.float32)
         if x.ndim == len(self.image_shape):  # single image
             x = x[None]
         if x.shape[1:] != self.image_shape:
@@ -285,6 +288,12 @@ class ServingEngine:
                 f"{x.shape[1:]}"
             )
         n = x.shape[0]
+        if n == 0:
+            big = self.batch_sizes[-1]
+            info = jax.tree_util.tree_leaves(
+                self._compiled[big].out_info
+            )[0]
+            return np.zeros((0, *info.shape[1:]), info.dtype)
         big = self.batch_sizes[-1]
         outs = []
         i = 0
@@ -294,8 +303,8 @@ class ServingEngine:
         if i < n:
             rem = n - i
             bs = self._covering_bs(rem)
-            tail = jnp.zeros((bs, *self.image_shape), x.dtype)
-            tail = tail.at[:rem].set(x[i:])
+            tail = np.zeros((bs, *self.image_shape), x.dtype)
+            tail[:rem] = x[i:]
             outs.append(self._run(tail)[:rem])
         return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
@@ -317,6 +326,15 @@ class ServingEngine:
         keys instead; :func:`mangle_qtable` converts.
         """
         from jax import export as jexport
+
+        if self.mesh is not None:
+            raise ValueError(
+                "export_serialized() of a data_parallel engine would "
+                "bake this host's device mesh into the artifact (the "
+                "server would need an identical topology). Export a "
+                "single-device engine and shard on the serving host "
+                "instead (ServingEngine(..., data_parallel=N) there)."
+            )
 
         fwd = self._forward
 

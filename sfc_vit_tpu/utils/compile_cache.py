@@ -34,10 +34,25 @@ def enable_compile_cache(
     persisting trivial programs (jax's default 1.0 s keeps the cache
     from filling with broadcast/convert one-liners); lower it to 0.0
     to persist everything (tests do).  Returns the absolute path.
+
+    The cache is PROCESS-GLOBAL jax config: enabling it affects every
+    later compile in the process (training, other engines), and
+    re-enabling with a different directory repoints them all — a
+    warning is emitted when that happens.
     """
+    import warnings
+
     import jax
 
     path = os.path.abspath(os.fspath(cache_dir))
+    current = jax.config.jax_compilation_cache_dir
+    if current and os.path.abspath(current) != path:
+        warnings.warn(
+            f"repointing the process-global compilation cache from "
+            f"{current} to {path}: all later compiles in this process "
+            f"(other engines, training) now cache there",
+            stacklevel=2,
+        )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_compilation_cache_dir", path)

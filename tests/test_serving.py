@@ -143,3 +143,61 @@ def test_int8_static_calibration_close_and_static_scales(tiny):
     with pytest.raises(ValueError, match="calibration"):
         ServingEngine(model, params, image_shape=(12, 64),
                       batch_sizes=(8,), calibration=[x[:8]])
+
+
+def test_predict_empty_batch(tiny):
+    """N=0 returns a (0, num_classes) array instead of crashing in
+    np.concatenate (review finding)."""
+    model, params, x = tiny
+    eng = ServingEngine(model, params, image_shape=(16, 16, 3),
+                        batch_sizes=(4,))
+    out = eng.predict(np.zeros((0, 16, 16, 3), np.float32))
+    ref = eng.predict(x[:4])
+    assert out.shape == (0, ref.shape[-1]) and out.dtype == ref.dtype
+
+
+def test_export_data_parallel_raises(tiny):
+    """Exporting a data-parallel engine would bake this host's mesh
+    into the artifact — must raise with guidance, not serialize a
+    topology-pinned blob (review finding)."""
+    model, params, x = tiny
+    dp = ServingEngine(model, params, image_shape=(16, 16, 3),
+                       batch_sizes=(4,), data_parallel=4)
+    with pytest.raises(ValueError, match="data_parallel"):
+        dp.export_serialized()
+
+
+def test_strip_removes_biases_too():
+    """The interceptor serves bias from the qtable entry in every mode,
+    so stripping must drop the params-tree bias copy as well — keeping
+    it would double-count HBM in weight_bytes (review finding)."""
+    from sfc_vit_tpu.models.layers import TransformerSeqEncoder
+    from sfc_vit_tpu.quant import (
+        discover_dense_paths,
+        quantize_dense_params,
+        quantized_apply,
+        strip_quantized_kernels,
+    )
+
+    m = TransformerSeqEncoder(
+        dim=32, n_heads=2, hidden_dim=48, n_layers=1, dropout_rate=0.0
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 8, 32)), jnp.float32
+    )
+    params = m.init({"params": jax.random.key(0)}, x)
+    paths = discover_dense_paths(m, params, x)
+    table = quantize_dense_params(params, paths=paths)
+    stripped = strip_quantized_kernels(params, table)
+
+    flat = dict(jax.tree_util.tree_flatten_with_path(stripped)[0])
+    n_placeholder_bias = sum(
+        1 for kp, leaf in flat.items()
+        if "bias" in str(kp) and leaf.shape == (1,)
+    )
+    assert n_placeholder_bias >= len(
+        [e for e in table.values() if e.get("bias") is not None]
+    )
+    got = quantized_apply(m, stripped, table, x)
+    want = quantized_apply(m, params, table, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
