@@ -165,7 +165,12 @@ def main(argv=None) -> dict:
     )
     model = build_model(mcfg)
 
-    steps = len(train_ds) // args.batch_size
+    # steps/epoch that will actually execute: each process iterates its
+    # 1/process_count shard at batch_size per process, so dividing the
+    # FULL dataset length would overstate steps by process_count x —
+    # stretching the LR schedule horizon and corrupting resume's
+    # step//steps_per_epoch epoch recovery.
+    steps = (len(train_ds) // jax.process_count()) // args.batch_size
     if args.steps_per_epoch:
         steps = min(steps, args.steps_per_epoch)
     tcfg = TrainConfig(

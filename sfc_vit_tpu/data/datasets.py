@@ -187,13 +187,32 @@ def epoch_batches(
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
+    pad_from = None
     if process_count > 1:
-        # equal shard length on every host (truncate the remainder) so
-        # all processes run the same number of collective steps.
-        per_host = n // process_count
-        order = order[process_index::process_count][:per_host]
+        shard = order[process_index::process_count]
+        if drop_last:
+            # training: equal shard length on every host (truncate the
+            # remainder) so all processes run the same number of
+            # collective steps; the shuffle rotates what gets dropped.
+            per_host = n // process_count
+            order = shard[:per_host]
+        else:
+            # evaluation: every sample must be counted exactly once, so
+            # short shards PAD (label -1, masked out of every metric by
+            # the eval step) up to the ceil length instead of all hosts
+            # truncating to the floor — which silently dropped up to
+            # process_count-1 samples from the reported accuracy.
+            per_host = -(-n // process_count)
+            pad_from = len(shard)
+            order = np.concatenate(
+                [shard, np.zeros(per_host - len(shard), np.int64)]
+            )
         n = per_host
     end = n - (n % batch_size) if drop_last else n
     for i in range(0, end, batch_size):
         idx = order[i : i + batch_size]
-        yield ds.images[idx], ds.labels[idx]
+        labels = ds.labels[idx]
+        if pad_from is not None and i + len(idx) > pad_from:
+            labels = labels.copy()
+            labels[max(0, pad_from - i):] = -1
+        yield ds.images[idx], labels

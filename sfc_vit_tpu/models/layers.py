@@ -126,18 +126,17 @@ class TorchMultiHeadAttention(nn.Module):
             # (RESULTS round 3, profile_forward --preset flagship).
             from ..ops.fused_torch_attention import (
                 fused_torch_mha,
-                torch_mha_bwd_fits,
-                torch_mha_fits,
+                mha_train_pallas,
             )
 
             itemsize = jnp.dtype(dt).itemsize
             if (
                 self.attn_impl == "auto"  # 'xla' = whole-module escape
-                and (_jax.default_backend() == "tpu" or _sv._FORCE_FUSED)
-                and d % 128 == 0
-                and torch_mha_fits(n, d, itemsize, self.n_heads,
-                                   save_acts=True)
-                and torch_mha_bwd_fits(n, d, itemsize, self.n_heads)
+                # shared eligibility predicate (backend + d%128 + both
+                # VMEM fits gates) — the kernel's vjp routing uses the
+                # SAME function, so the two gates cannot drift
+                and mha_train_pallas("auto", n, d, self.n_heads,
+                                     itemsize, interpret=_sv._FORCE_FUSED)
             ):
                 keep = 1.0 - self.dropout_rate
                 mask = _jax.random.bernoulli(

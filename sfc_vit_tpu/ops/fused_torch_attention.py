@@ -26,9 +26,12 @@ backward reuses the identical mask by construction (it is a saved
 residual), and the kernel stays CPU-testable in interpret mode
 (``pltpu.prng_*`` has no CPU lowering).
 
-Semantics (given the same mask, bit-for-bit the module's explicit
-path): ``qkv = x @ W_in + b_in``; per head ``P = softmax(q kᵀ ·
-scale)`` in fp32; ``Pd = (P / keep) ⊙ mask``; ``att_h = Pd v``;
+Semantics (same math as the module's explicit path given the same
+mask — the dropout scaling op is identical ulp-for-ulp since both
+DIVIDE by keep, while GEMM/softmax accumulation order differs as in
+any kernel-vs-XLA pair, so whole-output parity is tolerance-level):
+``qkv = x @ W_in + b_in``; per head ``P = softmax(q kᵀ · scale)`` in
+fp32; ``Pd = (P / keep) ⊙ mask``; ``att_h = Pd v``;
 ``y = att @ W_out + b_out``.  No residual/LN — that is the encoder
 layer's business (and the reference applies its *output* dropout
 outside the MHA).
@@ -57,6 +60,7 @@ from .kernel_utils import (
 
 __all__ = [
     "fused_torch_mha",
+    "mha_train_pallas",
     "torch_mha_train",
     "torch_mha_fits",
     "torch_mha_bwd_fits",
@@ -101,7 +105,6 @@ def _torch_mha_kernel(
     masked = n_actual < n_pad
     if masked:
         col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-    inv_keep = 1.0 / keep
     for bi in range(bb):
         rows = slice(bi * n_pad, (bi + 1) * n_pad)
         blk = qkv_s[rows, :]
@@ -123,7 +126,10 @@ def _torch_mha_kernel(
                 lse_out[bi, :, h : h + 1] = m + jnp.log(l)
             # nn.Dropout numerics: (P / keep) masked by the 0/1 bits
             # (lax.select(mask, P/keep, 0) == (P/keep) * mask exactly).
-            pd = (pn * inv_keep) * mask_ref[bi, h].astype(jnp.float32)
+            # DIVIDE, don't multiply by a precomputed reciprocal: x/keep
+            # and x*(1/keep) round differently in the last ulp, and the
+            # XLA rule / module explicit path divide.
+            pd = (pn / keep) * mask_ref[bi, h].astype(jnp.float32)
             out = jax.lax.dot_general(
                 pd.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -319,7 +325,8 @@ def _torch_mha_bwd_kernel(
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
-    inv_keep = 1.0 / keep
+    if masked:  # hoisted like the forward kernel (one iota, not bb*heads)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     for bi in range(bb):
         rsl = slice(bi * n_pad, (bi + 1) * n_pad)
         blk = qkv_all[rsl, :]
@@ -332,14 +339,11 @@ def _torch_mha_bwd_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale
             if masked:
-                col = jax.lax.broadcasted_iota(
-                    jnp.int32, (n_pad, n_pad), 1
-                )
                 s = jnp.where(col < n_actual, s, _NEG_INF)
             lse = lse_in[bi, :, h : h + 1]
             pf = jnp.exp(s - lse)  # exp(-inf - lse) == 0: pad keys stay 0
             maskf = mask_ref[bi, h].astype(jnp.float32)
-            pdf = (pf * inv_keep) * maskf
+            pdf = (pf / keep) * maskf  # divide: see forward kernel note
             da = datt_s[rsl, h * dh : (h + 1) * dh]
             dpd = jax.lax.dot_general(
                 da, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -350,7 +354,7 @@ def _torch_mha_bwd_kernel(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dp = (dpd * inv_keep) * maskf
+            dp = (dpd / keep) * maskf
             # flash delta identity (holds with the mask, see docstring)
             att_h = att_all[rsl, h * dh : (h + 1) * dh]
             delta = jnp.sum(
@@ -543,8 +547,13 @@ def torch_mha_train(
     return out.reshape(b, n, d) @ w_out + b_out
 
 
-def _mha_train_pallas(train_impl: str, n: int, d: int, heads: int,
-                      itemsize: int, interpret: bool) -> bool:
+def mha_train_pallas(train_impl: str, n: int, d: int, heads: int,
+                     itemsize: int, interpret: bool) -> bool:
+    """True iff the fused train kernel (fwd + bwd) is the right
+    implementation for these shapes on this backend.  The SINGLE
+    eligibility predicate — `TorchMultiHeadAttention` and the
+    custom-vjp routing both call it, so the module-level gate and the
+    kernel-level gate cannot drift apart."""
     if train_impl == "pallas":
         return True
     if train_impl != "auto":
@@ -556,6 +565,9 @@ def _mha_train_pallas(train_impl: str, n: int, d: int, heads: int,
         and torch_mha_bwd_fits(n, d, itemsize, heads)
         and torch_mha_fits(n, d, itemsize, heads, save_acts=True)
     )
+
+
+_mha_train_pallas = mha_train_pallas  # internal alias (pre-rename)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
@@ -587,6 +599,31 @@ def fused_torch_mha(
     Mirrors torch ``nn.MultiheadAttention`` training semantics
     (reference usage: ``vit.py:197-203`` via TransformerEncoderLayer).
     """
+    _check_args(x, w_in, heads, keep)
+    # Route exactly like the differentiated path (_ftm_fwd): jax only
+    # runs this primal body when the call is NOT differentiated (eval-
+    # mode losses, value-only applies) — an unconditional kernel lower
+    # here would ignore train_impl='xla' and the VMEM fits gates.
+    if _mha_train_pallas(train_impl, x.shape[1], x.shape[2], heads,
+                         x.dtype.itemsize, interpret):
+        dh = x.shape[-1] // heads
+        s = dh ** -0.5 if scale is None else scale
+        return _torch_mha(
+            x, w_in, b_in, w_out, b_out, drop_mask,
+            heads=heads, scale=s, keep=keep, interpret=interpret,
+            n_actual=n_actual,
+        )
+    return torch_mha_train(
+        x, w_in, b_in, w_out, b_out, drop_mask,
+        heads=heads, scale=scale, keep=keep, n_actual=n_actual,
+    )
+
+
+def _check_args(x, w_in, heads, keep):
+    """Shared by the primal AND the custom-vjp forward: jax.grad never
+    executes the primal body, so guards that live only there are dead
+    on every differentiated call — the one path a training kernel is
+    built for (review finding)."""
     if keep <= 0.0:
         raise ValueError(
             "fused_torch_mha requires keep > 0 (dropout rate < 1); "
@@ -594,17 +631,11 @@ def fused_torch_mha(
             "nn.Dropout / the explicit-weights path for that."
         )
     _validate(x.shape[-1], w_in.shape[1], heads)
-    dh = x.shape[-1] // heads
-    s = dh ** -0.5 if scale is None else scale
-    return _torch_mha(
-        x, w_in, b_in, w_out, b_out, drop_mask,
-        heads=heads, scale=s, keep=keep, interpret=interpret,
-        n_actual=n_actual,
-    )
 
 
 def _ftm_fwd(x, w_in, b_in, w_out, b_out, drop_mask,
              heads, scale, keep, interpret, n_actual, train_impl):
+    _check_args(x, w_in, heads, keep)
     d = x.shape[2]
     if _mha_train_pallas(train_impl, x.shape[1], d, heads,
                          x.dtype.itemsize, interpret):

@@ -16,6 +16,7 @@ to the accuracy peak.)
 
 from __future__ import annotations
 
+import json
 import pathlib
 from typing import Any, Dict, Optional
 
@@ -69,7 +70,31 @@ class Checkpointer:
         self._best.save(
             step, args=ocp.args.StandardSave(state), metrics=metrics
         )
+        if self.metric_name in metrics:
+            prev = self.best_metric()
+            if prev is None or metrics[self.metric_name] > prev:
+                self._best_metric_path().write_text(
+                    json.dumps({
+                        "step": int(step),
+                        self.metric_name: metrics[self.metric_name],
+                    })
+                )
         return bool(saved)
+
+    def _best_metric_path(self) -> pathlib.Path:
+        return self.directory / "best_metric.json"
+
+    def best_metric(self) -> Optional[float]:
+        """Best ``metric_name`` value saved so far (None before any
+        save) — survives process restarts, so a resumed ``fit()`` does
+        not reset its best-accuracy tracking to 0."""
+        p = self._best_metric_path()
+        if not p.exists():
+            return None
+        try:
+            return float(json.loads(p.read_text())[self.metric_name])
+        except Exception:
+            return None
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         """Restore the given (or latest) step into the template pytree."""

@@ -45,23 +45,31 @@ class MetricsLogger:
         directory: Optional[str | pathlib.Path] = None,
         stdout: bool = True,
         tensorboard: bool = False,
+        primary: Optional[bool] = None,
     ) -> None:
-        self.stdout = stdout
+        """``primary``: whether this process owns the sinks.  Default
+        (None) = ``jax.process_index() == 0`` — in a multi-host run the
+        workdir is shared (orbax requires it), and every process
+        appending identical rows to one metrics.jsonl/csv corrupts the
+        run history.  Metrics are already globally reduced by the mesh
+        collectives, so process 0 sees the full picture."""
+        if primary is None:
+            import jax
+
+            primary = jax.process_index() == 0
+        self.stdout = stdout and primary
         self._jsonl = None
         self._csv_path = None
         self._csv_fields = None
         self._tb = None
         self._step = 0
-        if directory is not None:
+        if directory is not None and primary:
             d = pathlib.Path(directory)
             d.mkdir(parents=True, exist_ok=True)
             self._jsonl = open(d / "metrics.jsonl", "a", buffering=1)
             self._csv_path = d / "metrics.csv"
             if tensorboard:
-                import jax
-
-                if jax.process_index() == 0:
-                    self._tb = _summary_writer(d / "tensorboard")
+                self._tb = _summary_writer(d / "tensorboard")
         self._t0 = time.time()
 
     def log(self, record: Dict) -> None:

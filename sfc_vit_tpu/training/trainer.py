@@ -293,7 +293,7 @@ class Trainer:
         import jax.numpy as jnp
 
         dsize = int(self.mesh.shape.get("data", 1))
-        loss_sum, correct, count = 0.0, 0, 0
+        ms = []
         for batch in batches:
             x, y = batch[0], batch[1]
             rem = (-x.shape[0]) % dsize
@@ -310,10 +310,13 @@ class Trainer:
                 )
             batch = (x, y)
             batch = shard_batch(self.mesh, batch)
-            m = jax.device_get(self._eval_step(self.state, batch))
-            loss_sum += float(m["loss_sum"])
-            correct += int(m["correct"])
-            count += int(m["count"])
+            ms.append(self._eval_step(self.state, batch))
+        # ONE host sync for the whole eval (a per-batch device_get is a
+        # blocking HTTP round trip each on the remote backend)
+        ms = jax.device_get(ms)
+        loss_sum = float(sum(float(m["loss_sum"]) for m in ms))
+        correct = int(sum(int(m["correct"]) for m in ms))
+        count = int(sum(int(m["count"]) for m in ms))
         return {
             "test_loss": loss_sum / max(1, count),
             "test_accuracy": correct / max(1, count),
@@ -327,8 +330,35 @@ class Trainer:
     ) -> dict:
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epochs
+        if epochs > cfg.epochs:
+            import warnings
+
+            warnings.warn(
+                f"fit(epochs={epochs}) exceeds the schedule horizon "
+                f"(TrainConfig.epochs={cfg.epochs}): the LR schedule "
+                "has fully decayed, so the extra epochs update at "
+                "lr=min_lr (cosine_min_lr) or exactly 0 (cosine — "
+                "pure no-op compute)",
+                stacklevel=2,
+            )
+        # resume-aware: recover the best metric across restarts so a
+        # resumed run neither under-reports best_test_accuracy nor
+        # re-saves a worse 'best' checkpoint record.
         best_acc = 0.0
+        if self.checkpointer is not None:
+            best_acc = self.checkpointer.best_metric() or 0.0
         record = {}
+        if self.start_epoch >= epochs:
+            # fully-resumed run: nothing left to train, but return the
+            # documented record shape (evaluate the restored params)
+            # instead of a bare {'best_test_accuracy': 0.0}.
+            record = {"epoch": self.start_epoch}
+            record.update(self.evaluate(eval_data()))
+            self.logger.log(record)
+            record["best_test_accuracy"] = max(
+                best_acc, record["test_accuracy"]
+            )
+            return record
         for epoch in range(self.start_epoch, epochs):
             record = {"epoch": epoch + 1}
             record.update(self.train_epoch(train_data()))

@@ -248,3 +248,35 @@ def test_prefetch_multiworker_propagates_errors():
                             workers=3)
     with pytest.raises(RuntimeError, match="transform boom"):
         list(it)
+
+
+def test_epoch_batches_multihost_eval_counts_every_sample():
+    """drop_last=False (evaluation) must cover every sample exactly
+    once across hosts: short shards pad with label -1 (masked out of
+    metrics) instead of all hosts truncating to the floor — which
+    silently dropped up to process_count-1 samples (review finding).
+    All hosts also run the SAME number of batches (collective lockstep).
+    """
+    ds = synthetic_dataset(n=13)  # 13 over 4 hosts: shards 4,3,3,3
+    seen = []
+    batch_counts = []
+    for p in range(4):
+        cnt = 0
+        for xb, yb in epoch_batches(
+            ds, 2, shuffle=False, drop_last=False,
+            process_index=p, process_count=4,
+        ):
+            cnt += 1
+            seen.extend(int(l) for l in yb if l >= 0)
+        batch_counts.append(cnt)
+    assert len(set(batch_counts)) == 1, batch_counts
+    # every real sample exactly once (labels are unique-ish? use count)
+    assert len(seen) == 13
+    # train mode (drop_last=True) keeps the old equal-truncation rule
+    train_lens = {
+        sum(len(yb) for _, yb in epoch_batches(
+            ds, 2, seed=0, epoch=0, process_index=p, process_count=4
+        ))
+        for p in range(4)
+    }
+    assert train_lens == {2}  # floor(13/4)=3 -> 1 batch of 2 per host

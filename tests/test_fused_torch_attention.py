@@ -247,3 +247,64 @@ def test_model_gate_takes_fused_path_under_dropout():
     # still matches the packed formula
     out_det = mha.apply(variables, x, deterministic=True)
     assert out_det.shape == x.shape
+
+
+def _toy(b=2, n=16, d=64, h=2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    w_in = jnp.asarray(rng.standard_normal((d, 3 * d)) / 8, jnp.float32)
+    b_in = jnp.zeros((3 * d,), jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((d, d)) / 8, jnp.float32)
+    b_out = jnp.zeros((d,), jnp.float32)
+    mask = jnp.ones((b, h, n, n), jnp.float32)
+    return x, w_in, b_in, w_out, b_out, mask
+
+
+def test_guards_fire_under_differentiation():
+    """jax.grad never executes the custom-vjp primal body, so the
+    keep/shape guards must also live in _ftm_fwd (review finding:
+    grad with keep=0 returned NaN silently; bad heads raised a
+    confusing reshape error from kernel tracing)."""
+    from sfc_vit_tpu.ops.fused_torch_attention import fused_torch_mha
+
+    x, w_in, b_in, w_out, b_out, mask = _toy()
+
+    def loss(keep, heads):
+        return jax.grad(
+            lambda xx: (fused_torch_mha(
+                xx, w_in, b_in, w_out, b_out, mask, heads,
+                keep=keep, train_impl="xla",
+            ) ** 2).sum()
+        )(x)
+
+    with pytest.raises(ValueError, match="keep > 0"):
+        loss(0.0, 2)
+    with pytest.raises(ValueError, match="divisible"):
+        loss(0.9, 3)
+
+
+def test_primal_routes_like_the_vjp_forward():
+    """A forward-only call (no differentiation) must honor train_impl
+    and the fits gates exactly like _ftm_fwd: train_impl='xla' on CPU
+    runs the XLA composition instead of dying in Pallas lowering
+    (review finding)."""
+    from sfc_vit_tpu.ops.fused_torch_attention import (
+        fused_torch_mha,
+        torch_mha_train,
+    )
+
+    x, w_in, b_in, w_out, b_out, mask = _toy(seed=3)
+    got = fused_torch_mha(
+        x, w_in, b_in, w_out, b_out, mask, 2, keep=0.9,
+        train_impl="xla",
+    )
+    want = torch_mha_train(
+        x, w_in, b_in, w_out, b_out, mask, 2, keep=0.9
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # 'auto' off-TPU without interpret also takes the XLA composition
+    got_auto = fused_torch_mha(
+        x, w_in, b_in, w_out, b_out, mask, 2, keep=0.9,
+        train_impl="auto",
+    )
+    np.testing.assert_array_equal(np.asarray(got_auto), np.asarray(want))

@@ -300,3 +300,59 @@ def test_grad_accum_with_dropout_runs_and_validates():
         bad(state, (x, y), jax.random.key(1))
     with pytest.raises(ValueError, match="must be >= 1"):
         make_train_step(num_classes=4, grad_accum=0)
+
+
+def test_fully_resumed_fit_returns_real_record(tmp_path):
+    """A resume with nothing left to train must evaluate the restored
+    params and return the documented record shape + the historical
+    best metric — not {'best_test_accuracy': 0.0} (review finding)."""
+    ds, data = _data(n=64)
+    mesh = make_mesh(data=1, devices=jax.devices()[:1])
+    cfg = TrainConfig(
+        num_classes=4, epochs=2, warmup_epochs=0, base_lr=1e-3,
+        use_mixing=False, workdir=str(tmp_path), data_parallel=1,
+    )
+    kw = dict(
+        steps_per_epoch=2,
+        sample_input=np.zeros((2, 16, 16, 3), np.float32),
+        mesh=mesh,
+    )
+    tr = Trainer(_tiny_model(), cfg, **kw)
+    first = tr.fit(lambda: data(0, bs=32), lambda: data(1, bs=32))
+    assert tr.checkpointer.best_metric() is not None
+
+    tr2 = Trainer(_tiny_model(), cfg, **kw)
+    assert tr2.maybe_resume() is True and tr2.start_epoch == 2
+    again = tr2.fit(lambda: data(0, bs=32), lambda: data(1, bs=32))
+    assert "test_accuracy" in again and "test_loss" in again
+    # best survives the restart (persisted best_metric.json)
+    assert again["best_test_accuracy"] >= first["best_test_accuracy"]
+    assert int(tr2.state.step) == int(tr.state.step)  # no extra steps
+
+
+def test_fit_past_schedule_horizon_warns(tmp_path):
+    import warnings as _w
+
+    ds, data = _data(n=64)
+    mesh = make_mesh(data=1, devices=jax.devices()[:1])
+    cfg = TrainConfig(
+        num_classes=4, epochs=1, warmup_epochs=0, base_lr=1e-3,
+        use_mixing=False, data_parallel=1,
+    )
+    tr = Trainer(
+        _tiny_model(), cfg, steps_per_epoch=1,
+        sample_input=np.zeros((2, 16, 16, 3), np.float32), mesh=mesh,
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        tr.fit(lambda: data(0, bs=32), lambda: data(1, bs=32), epochs=2)
+    assert any("schedule horizon" in str(r.message) for r in rec)
+
+
+def test_metrics_logger_non_primary_writes_nothing(tmp_path):
+    from sfc_vit_tpu.training.metrics_logger import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path / "w"), primary=False)
+    lg.log({"epoch": 1, "train_loss": 1.0})
+    assert not (tmp_path / "w" / "metrics.jsonl").exists()
+    assert not (tmp_path / "w" / "metrics.csv").exists()
