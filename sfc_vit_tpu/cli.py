@@ -185,6 +185,9 @@ def main(argv=None) -> dict:
         dropout_key_impl=args.dropout_key_impl,
         grad_accum=args.grad_accum,
         tensorboard=args.tensorboard,
+        # ring/sp attention needs the ambient sequence_sharding context
+        # at trace time or it silently degrades to local XLA attention
+        sequence_parallel=args.attn_impl in ("ring", "sp"),
     )
     trainer = Trainer(
         model, tcfg, steps_per_epoch=steps,

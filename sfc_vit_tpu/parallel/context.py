@@ -31,13 +31,19 @@ objects, or ``jitted.clear_cache()``, when switching modes.
 from __future__ import annotations
 
 from contextlib import contextmanager
+from contextvars import ContextVar
 from typing import Optional, Tuple
 
 from jax.sharding import Mesh
 
 __all__ = ["sequence_sharding", "active_sequence_sharding"]
 
-_STACK: list = []
+# ContextVar, not a module-global list: concurrent tracing threads
+# (async eval, a second Trainer) would corrupt each other's stack and
+# unwind pops out of order.
+_ACTIVE: ContextVar[Optional[Tuple[Mesh, str]]] = ContextVar(
+    "sfc_vit_tpu_sequence_sharding", default=None
+)
 
 
 @contextmanager
@@ -49,13 +55,13 @@ def sequence_sharding(mesh: Mesh, axis: str = "model"):
         raise ValueError(
             f"mesh has no axis {axis!r}; axes: {tuple(mesh.shape)}"
         )
-    _STACK.append((mesh, axis))
+    token = _ACTIVE.set((mesh, axis))
     try:
         yield
     finally:
-        _STACK.pop()
+        _ACTIVE.reset(token)
 
 
 def active_sequence_sharding() -> Optional[Tuple[Mesh, str]]:
     """The innermost active (mesh, axis), or None."""
-    return _STACK[-1] if _STACK else None
+    return _ACTIVE.get()

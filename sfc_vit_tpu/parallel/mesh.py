@@ -41,8 +41,23 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize multi-host JAX (no-op for single process)."""
-    if num_processes is not None and num_processes > 1:
+    """Initialize multi-host JAX.
+
+    Initializes when a coordinator is named OR ``num_processes > 1``
+    OR the cluster auto-detect env (``JAX_COORDINATOR_ADDRESS``) is
+    set — ``jax.distributed.initialize`` fills unspecified values from
+    the environment.  Explicit ``num_processes=1`` (or calling with no
+    arguments outside a cluster) is the single-process no-op.
+    """
+    import os
+
+    if num_processes == 1:
+        return
+    if (
+        coordinator_address is not None
+        or (num_processes is not None and num_processes > 1)
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -91,13 +106,16 @@ def shard_batch(mesh: Mesh, batch):
     """Shard a (x, y, ...) tuple over the batch (data) axis.
 
     Single process: a plain ``device_put``.  Multi-host: ``batch`` is
-    this process's LOCAL shard of the global batch (host-sharded input
-    pipeline -- each host loads ``global_batch / process_count``
-    samples, see :func:`host_shard_slice`); the local arrays are
+    this process's LOCAL shard of the global batch — the production
+    pipeline shards hosts with the STRIDED split in
+    :func:`~sfc_vit_tpu.data.datasets.epoch_batches`
+    (``order[process_index::process_count]``); the local arrays are
     stitched into one global ``jax.Array`` via
     ``make_array_from_process_local_data``, which only moves each
     host's data to its own devices (no cross-host gather).  The global
-    batch is the process-order concatenation of the local ones.
+    batch is the process-order concatenation of the local ones
+    (:func:`host_shard_slice` is the alternative CONTIGUOUS split for
+    pipelines that materialize the global batch first).
     """
     if jax.process_count() > 1:
         return global_batch_from_local(mesh, batch)
@@ -114,8 +132,12 @@ def global_batch_from_local(mesh: Mesh, local_batch):
     """
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(
+        # pass device-resident leaves through as-is: np.asarray on a
+        # jax.Array is a full device->host readback (an HTTP round trip
+        # per step on the remote backend — the exact cost the on-device
+        # augment path exists to avoid, cli.py)
         lambda a: jax.make_array_from_process_local_data(
-            sh, np.asarray(a)
+            sh, a if isinstance(a, jax.Array) else np.asarray(a)
         ),
         local_batch,
     )

@@ -78,6 +78,20 @@ def pipeline_apply(
         to sequential application.
     """
     s = mesh.shape[axis]
+    leading = {
+        a.shape[0] for a in jax.tree_util.tree_leaves(stacked_params)
+    }
+    if leading != {s}:
+        # shard_map only errors when S does NOT divide the axis size:
+        # 8 stages on a 4-device pipe would silently apply stages
+        # 0,2,4,6 and drop the rest (each device keeps params[0] of its
+        # [S/axis, ...] block).
+        raise ValueError(
+            f"stacked_params lead with stage counts {sorted(leading)}, "
+            f"but mesh axis {axis!r} has {s} devices — they must match "
+            "exactly (restack with stack_stage_params(..., stages="
+            f"{s}))"
+        )
     m = x.shape[0]
     ticks = m + s - 1
 

@@ -29,6 +29,19 @@ from ..ops.attention import dot_product_attention_xla
 __all__ = ["sequence_parallel_attention", "ring_attention"]
 
 
+def _seq_spec(mesh: Mesh, axis: str, batch: int) -> P:
+    """[B, N, H, Dh] spec: N over ``axis``, and B over the data axis
+    when the mesh has one (and B divides it) — declaring B replicated
+    while the caller's batch is sharded P('data') would force an
+    all-gather over 'data' and make every data-group redundantly
+    attend to the whole batch."""
+    d = mesh.shape.get("data", 1)
+    batch_ax = (
+        "data" if axis != "data" and d > 1 and batch % d == 0 else None
+    )
+    return P(batch_ax, axis, None, None)
+
+
 def ring_attention(
     mesh: Mesh,
     q: jnp.ndarray,
@@ -52,9 +65,9 @@ def ring_attention(
 
     def local(qb, kb, vb):
         qf = qb.astype(jnp.float32)
+        perm = [(i, (i + 1) % p) for i in range(p)]
 
-        def step(carry, _):
-            m, l, acc, kc, vc = carry
+        def fold(m, l, acc, kc, vc):
             logits = jnp.einsum(
                 "bnhd,bmhd->bhnm", qf, kc.astype(jnp.float32)
             ) * s
@@ -66,10 +79,18 @@ def ring_attention(
             acc_new = acc * correction[..., None] + jnp.einsum(
                 "bhnm,bmhd->bhnd", e, vc.astype(jnp.float32)
             )
-            perm = [(i, (i + 1) % p) for i in range(p)]
+            return m_new, l_new, acc_new
+
+        def step(carry, _):
+            # rotate FIRST, then fold: the resident block is folded
+            # before the scan, so p-1 rotations total — a trailing
+            # rotate-then-discard would cost 2 extra ICI collectives
+            # per attention call (XLA cannot DCE collectives in a scan)
+            m, l, acc, kc, vc = carry
             kc = jax.lax.ppermute(kc, axis, perm)
             vc = jax.lax.ppermute(vc, axis, perm)
-            return (m_new, l_new, acc_new, kc, vc), None
+            m, l, acc = fold(m, l, acc, kc, vc)
+            return (m, l, acc, kc, vc), None
 
         b, n, h, _ = qb.shape
         # derive the accumulators from qb so shard_map types them as
@@ -78,13 +99,15 @@ def ring_attention(
         m0 = zeros[..., 0] - jnp.inf
         l0 = zeros[..., 0]
         acc0 = zeros
-        (m, l, acc, _, _), _ = jax.lax.scan(
-            step, (m0, l0, acc0, kb, vb), None, length=p
-        )
+        m, l, acc = fold(m0, l0, acc0, kb, vb)
+        if p > 1:
+            (m, l, acc, _, _), _ = jax.lax.scan(
+                step, (m, l, acc, kb, vb), None, length=p - 1
+            )
         out = acc / l[..., None]
         return out.transpose(0, 2, 1, 3).astype(qb.dtype)
 
-    spec = P(None, axis, None, None)
+    spec = _seq_spec(mesh, axis, q.shape[0])
     fn = shard_map(
         local,
         mesh=mesh,
@@ -151,7 +174,7 @@ def sequence_parallel_attention(
             return dot_product_attention_bf16(qb, kg, vg, s)
         return dot_product_attention_xla(qb, kg, vg, s)
 
-    spec = P(None, axis, None, None)
+    spec = _seq_spec(mesh, axis, q.shape[0])
     fn = shard_map(
         local,
         mesh=mesh,

@@ -56,6 +56,13 @@ class TrainConfig:
     pipeline_parallel: int = 1  # stages over the 'pipe' mesh axis
     pipeline_microbatches: int = 4  # GPipe M (bubble = (S-1)/(M+S-1))
     grad_accum: int = 1  # microbatches per update (activation memory / A)
+    # enter parallel.sequence_sharding(mesh, 'model') around every
+    # train/eval step so attn_impl='ring'/'sp' models actually shard
+    # the token axis (the context is a TRACING-time switch; without it
+    # those impls silently degrade to local XLA attention while the
+    # model axis does replicated work).  CLI sets this automatically
+    # from --attn-impl.
+    sequence_parallel: bool = False
     tensorboard: bool = False  # event files under workdir (process 0)
     # 'auto' = TPU hardware RNG for dropout mask bits (threefry key
     # derivation kept), threefry elsewhere; 'threefry' pins the
@@ -268,13 +275,28 @@ class Trainer:
 
         return template, convert
 
+    def _seq_ctx(self):
+        """Ambient sequence-parallel context for ring/sp attention —
+        consulted when jax TRACES the step (first call), harmless on
+        later cached calls, so every step call is wrapped uniformly."""
+        if self.config.sequence_parallel:
+            from ..parallel.context import sequence_sharding
+
+            return sequence_sharding(self.mesh, axis="model")
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def train_epoch(self, batches: Iterable) -> dict:
         losses, accs, n = [], [], 0
         t0 = time.time()
         images = 0
         for batch in batches:
             batch = shard_batch(self.mesh, batch)
-            self.state, m = self._train_step(self.state, batch, self.rng)
+            with self._seq_ctx():
+                self.state, m = self._train_step(
+                    self.state, batch, self.rng
+                )
             losses.append(m["loss"])
             accs.append(m["accuracy"])
             images += batch[1].shape[0]
@@ -310,7 +332,8 @@ class Trainer:
                 )
             batch = (x, y)
             batch = shard_batch(self.mesh, batch)
-            ms.append(self._eval_step(self.state, batch))
+            with self._seq_ctx():
+                ms.append(self._eval_step(self.state, batch))
         # ONE host sync for the whole eval (a per-batch device_get is a
         # blocking HTTP round trip each on the remote backend)
         ms = jax.device_get(ms)

@@ -704,3 +704,58 @@ def test_grad_accum_under_data_parallel_sharding():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-7
         )
+
+
+def test_trainer_sequence_parallel_config_engages_ring():
+    """TrainConfig(sequence_parallel=True) must put the ambient
+    sequence_sharding context around the step so attn_impl='ring'
+    actually traces ring collectives — without it the impl silently
+    degrades to local XLA attention (review finding: no production
+    call site ever entered the context)."""
+    from sfc_vit_tpu.models import CurveViT
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    mesh = make_mesh(data=2, model=4)
+    model = CurveViT(
+        curve="hilbert", image_size=16, patch_size=2, num_classes=4,
+        dim=32, depth=1, heads=2, mlp_dim=48, dim_head=16,
+        attn_impl="ring",
+    )
+    cfg = TrainConfig(
+        num_classes=4, epochs=1, warmup_epochs=0, base_lr=1e-3,
+        use_mixing=False, data_parallel=2, model_parallel=4,
+        sequence_parallel=True,
+    )
+    tr = Trainer(
+        model, cfg, steps_per_epoch=1,
+        sample_input=np.zeros((2, 16, 16, 3), np.float32), mesh=mesh,
+    )
+    x = np.zeros((8, 16, 16, 3), np.float32)
+    y = np.zeros((8,), np.int32)
+    batch = shard_batch(mesh, (x, y))
+    with tr._seq_ctx():
+        hlo = tr._train_step.lower(
+            tr.state, batch, tr.rng
+        ).compile().as_text()
+    assert "collective-permute" in hlo, "ring attention did not engage"
+    rec = tr.train_epoch(iter([(x, y)]))
+    assert np.isfinite(rec["train_loss"])
+
+
+def test_pipeline_apply_rejects_stage_count_mismatch():
+    """8 stacked stages on a 4-device pipe axis must raise — shard_map
+    would silently keep stages 0,2,4,6 (review finding)."""
+    from sfc_vit_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_stage_params,
+    )
+
+    mesh = make_mesh(data=2, pipe=4)
+    stages = [{"w": np.full((4, 4), float(i))} for i in range(8)]
+    stacked = stack_stage_params(stages)
+    x = np.zeros((2, 2, 4), np.float32)
+    with pytest.raises(ValueError, match="must match"):
+        pipeline_apply(
+            mesh, lambda p, a: a @ p["w"], stacked, jnp.asarray(x),
+            axis="pipe",
+        )
