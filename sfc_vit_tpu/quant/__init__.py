@@ -2,6 +2,7 @@
 the torch reference serves fp32/amp only, ``main.py:158-159``)."""
 
 from .int8 import (
+    build_int8_serving_tables,
     calibrate_activations,
     dequantize_weight,
     discover_dense_paths,
@@ -15,6 +16,7 @@ from .int8 import (
 )
 
 __all__ = [
+    "build_int8_serving_tables",
     "calibrate_activations",
     "dequantize_weight",
     "discover_dense_paths",

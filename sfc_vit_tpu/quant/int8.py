@@ -440,6 +440,45 @@ def intercept_dense(qtable, out_dtype=None):
     return interceptor
 
 
+def build_int8_serving_tables(
+    model: nn.Module,
+    variables,
+    sample,
+    calibration=None,
+    margin: float = 1.0,
+    **apply_kwargs,
+):
+    """The canonical int8 serving build, in one place.
+
+    Discovery-gated paths (every interceptor-reachable nn.Dense AND
+    holder read — deriving paths from calibration output instead would
+    leave weight-mode holder reads unquantized), optional static
+    activation calibration as an OVERLAY on those paths, quantize,
+    strip.  Returns ``(qtable, stripped_variables)``.  Shared by
+    :class:`~sfc_vit_tpu.serving.ServingEngine` and ``bench.py`` so the
+    two builds cannot drift.
+    """
+    paths = discover_dense_paths(model, variables, sample, **apply_kwargs)
+    act_scales = None
+    if calibration is not None:
+        act_scales = calibrate_activations(
+            model, variables, calibration,
+            paths=paths, margin=margin, **apply_kwargs,
+        )
+        if not act_scales:
+            raise ValueError(
+                "calibration observed no activation scales — the "
+                "iterable was empty/already consumed, or no quantized "
+                "read on this model carries an activation. Pass a "
+                "non-empty list of sample batches, or calibration=None "
+                "for dynamic quantization"
+            )
+    qtable = quantize_dense_params(
+        variables, paths=paths, act_scales=act_scales
+    )
+    return qtable, strip_quantized_kernels(variables, qtable)
+
+
 def quantized_apply(model: nn.Module, params, qtable, *args, **kwargs):
     """``model.apply(params, *args)`` with int8 Dense layers.
 

@@ -165,40 +165,20 @@ class ServingEngine:
             variables = _cast_floats(variables, dtype)
 
         if weights == "int8":
-            from .quant.int8 import (
-                calibrate_activations,
-                discover_dense_paths,
-                quantize_dense_params,
-                strip_quantized_kernels,
-            )
+            from .quant.int8 import build_int8_serving_tables
 
             sample = jnp.zeros(
                 (1, *self.image_shape), dtype or jnp.float32
             )
-            paths = discover_dense_paths(
-                model, variables, sample, **self._kw
-            )
-            act_scales = None
-            if calibration is not None:
-                act_scales = calibrate_activations(
-                    model, variables,
+            self._qtable, variables = build_int8_serving_tables(
+                model, variables, sample,
+                calibration=(
+                    None if calibration is None else
                     (jnp.asarray(b, dtype or jnp.float32)
-                     for b in calibration),
-                    paths=paths, **self._kw,
-                )
-                if not act_scales:
-                    raise ValueError(
-                        "calibration= observed no activation scales — "
-                        "the iterable was empty/already consumed, or "
-                        "no quantized read on this model carries an "
-                        "activation. Pass a non-empty list of sample "
-                        "batches, or omit calibration= for dynamic "
-                        "quantization"
-                    )
-            self._qtable = quantize_dense_params(
-                variables, paths=paths, act_scales=act_scales
+                     for b in calibration)
+                ),
+                **self._kw,
             )
-            variables = strip_quantized_kernels(variables, self._qtable)
             variables = _as_variables(variables)
         else:
             self._qtable = {}
