@@ -75,8 +75,8 @@ def attention_with_weights(
     scale = dh ** -0.5 if scale is None else scale
     logits = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-    )
-    weights = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    )  # preferred_element_type alone establishes the fp32 invariant
+    weights = jax.nn.softmax(logits * scale, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", weights.astype(q.dtype), v)
     return out, weights
 
@@ -96,8 +96,7 @@ def dot_product_attention_xla(
     scale = dh ** -0.5 if scale is None else scale
     logits = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-    )
-    logits = logits.astype(jnp.float32) * scale
+    ) * scale
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
 
@@ -150,7 +149,7 @@ def _pallas_available(q: jnp.ndarray) -> bool:
     return _pallas_ok(n, dh)
 
 
-def _bf16_softmax_ok(q: jnp.ndarray) -> bool:
+def _bf16_softmax_ok(q: jnp.ndarray, n: int) -> bool:
     """auto picks the bf16-softmax path for short bf16 sequences on TPU.
 
     Gated on the round-2 accuracy study (scripts/bf16_softmax_study.py,
@@ -163,11 +162,16 @@ def _bf16_softmax_ok(q: jnp.ndarray) -> bool:
     flash kernel takes over, and when its head-dim gate fails we keep
     fp32 softmax rather than extrapolate the study to long rows).
     Explicit ``implementation='xla'`` still forces fp32 softmax.
+
+    ``n`` is the SEQUENCE length, passed explicitly because callers
+    hold different layouts (BNHD vs the packed path's BHND — inferring
+    from ``q.shape[1]`` silently tested the head count there, enabling
+    bf16 softmax for exactly the long rows the study excluded).
     """
     return (
         jax.default_backend() == "tpu"
         and q.dtype == jnp.bfloat16
-        and q.shape[1] < _PALLAS_MIN_N
+        and n < _PALLAS_MIN_N
     )
 
 
@@ -205,24 +209,24 @@ def packed_qkv_attention(
         )
     inner = three_inner // 3
     dh = inner // heads
-    from .flash_attention import (
-        packed_attention_fits,
-        packed_flash_attention,
-    )
+    if implementation == "auto" and jax.default_backend() == "tpu":
+        # deferred per-branch import (module convention): pure-XLA
+        # callers never pay the Pallas/Mosaic import
+        from .flash_attention import (
+            packed_attention_fits,
+            packed_flash_attention,
+        )
 
-    if (
-        implementation == "auto"
-        and jax.default_backend() == "tpu"
-        and packed_attention_fits(n, three_inner, qkv.dtype.itemsize)
-    ):
-        # Short-sequence fast path: whole-sequence attention straight
-        # off the packed projection (fp32 softmax, zero layout changes,
-        # no [N,N] HBM traffic) — measured 3.84 vs 4.74 ms for the XLA
-        # path at ViT-B shapes and 4.03 vs 7.15 for split+flash at 1024
-        # tokens (RESULTS.md round 2).  Under differentiation its VJP
-        # rule uses the store-weights XLA formula, so training keeps
-        # the measured-fastest configuration.
-        return packed_flash_attention(qkv, heads, scale)
+        if packed_attention_fits(n, three_inner, qkv.dtype.itemsize):
+            # Short-sequence fast path: whole-sequence attention
+            # straight off the packed projection (fp32 softmax, zero
+            # layout changes, no [N,N] HBM traffic) — measured 3.84 vs
+            # 4.74 ms for the XLA path at ViT-B shapes and 4.03 vs 7.15
+            # for split+flash at 1024 tokens (RESULTS.md round 2).
+            # Under differentiation its VJP rule uses the store-weights
+            # XLA formula, so training keeps the measured-fastest
+            # configuration.
+            return packed_flash_attention(qkv, heads, scale)
     kernel_backed = implementation in ("pallas", "local", "ring", "sp") or (
         implementation == "auto" and _pallas_ok(n, dh)
     )
@@ -239,17 +243,17 @@ def packed_qkv_attention(
     q, k, v = x5[0], x5[1], x5[2]
     s = dh ** -0.5 if scale is None else scale
     if implementation == "xla_bf16" or (
-        implementation == "auto" and _bf16_softmax_ok(q)
+        implementation == "auto" and _bf16_softmax_ok(q, n)
     ):
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * jnp.asarray(
             s, q.dtype
         )
         weights = jax.nn.softmax(logits, axis=-1)
     else:
+        # preferred_element_type alone establishes the fp32 invariant
         logits = jnp.einsum(
             "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
-        )
-        logits = logits.astype(jnp.float32) * s
+        ) * s
         weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
     return out.transpose(0, 2, 1, 3).reshape(b, n, inner)
@@ -265,7 +269,11 @@ def multi_head_attention(
     """Multi-head attention on [B, N, H, Dh] tensors.
 
     Args:
-        implementation: "auto" | "xla" | "pallas".
+        implementation: one of ``_IMPLEMENTATIONS`` — "auto" (backend/
+          shape-routed), "xla", "xla_bf16" (bf16 softmax), "pallas"
+          (flash kernel), "local" (curve-local windowed), "ring"/"sp"
+          (sequence-parallel; need the ambient ``sequence_sharding``
+          context, else degrade to the local XLA path).
     """
     if implementation == "xla":
         return dot_product_attention_xla(q, k, v, scale)
@@ -315,6 +323,6 @@ def multi_head_attention(
             f"unknown attention implementation {implementation!r}; "
             f"one of {_IMPLEMENTATIONS}"
         )
-    if implementation == "auto" and _bf16_softmax_ok(q):
+    if implementation == "auto" and _bf16_softmax_ok(q, q.shape[1]):
         return dot_product_attention_bf16(q, k, v, scale)
     return dot_product_attention_xla(q, k, v, scale)

@@ -143,7 +143,14 @@ def test_bf16_softmax_gate_respects_sequence_length():
     from sfc_vit_tpu.ops.attention import _PALLAS_MIN_N, _bf16_softmax_ok
 
     long_q = jnp.zeros((1, _PALLAS_MIN_N, 2, 32), jnp.bfloat16)
-    assert not _bf16_softmax_ok(long_q)  # regardless of backend
+    assert not _bf16_softmax_ok(long_q, long_q.shape[1])
+    # the packed path holds BHND: the helper takes the sequence length
+    # EXPLICITLY so a (B, H=2, N, Dh) layout cannot sneak its head
+    # count past the gate (review finding: q.shape[1] tested H there,
+    # enabling bf16 softmax for exactly the long rows the study
+    # excluded)
+    packed_q = jnp.zeros((1, 2, _PALLAS_MIN_N, 32), jnp.bfloat16)
+    assert not _bf16_softmax_ok(packed_q, _PALLAS_MIN_N)
 
 
 def test_sequence_parallel_attention_honors_impl_without_flash():
