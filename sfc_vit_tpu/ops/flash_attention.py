@@ -657,7 +657,11 @@ def _fa_fwd(q, k, v, scale, block_q, block_k, block_h, interpret):
         out, lse = _flash_fwd(q, k, v, s, block_q=bq, block_k=block_k,
                               block_h=block_h, return_lse=True,
                               interpret=interpret)
-        return out, (q, k, v, out, lse)
+        # save only ONE lane of the 128x lane-replicated LSE: the full
+        # [BH, Npad, 128] layout pinned ~128x the logical bytes in HBM
+        # per layer from forward to backward (805 MB/layer at b32 h12
+        # N4096); the bwd re-broadcasts a transient copy.
+        return out, (q, k, v, out, lse[:, :, :1])
     out = _flash_fwd(q, k, v, s, block_q=bq, block_k=block_k,
                      block_h=block_h, interpret=interpret)
     return out, (q, k, v, None, None)
@@ -667,15 +671,30 @@ def _fa_bwd(scale, block_q, block_k, block_h, interpret, res, g):
     q, k, v, out, lse = res
     s = q.shape[-1] ** -0.5 if scale is None else scale
     if lse is not None:
-        # Streaming bwd wants the *same* q-block grid the fwd used for
-        # the LSE layout; _flash_fwd padded to _auto_block_q multiples.
+        # The LSE rows arrive padded to the FWD q-block multiple.  The
+        # bwd kernels have a tighter VMEM envelope than the fwd (four
+        # (block_q, block_k) fp32 temporaries), so cap both blocks at
+        # the measured-good (512, 1024) and re-pad/slice the LSE rows
+        # to the bwd's own q padding — any divisor works, pad rows are
+        # don't-care (zero-padded g zeroes their dk/dv contributions).
         bq_fwd = _auto_block_q(q.shape[1]) if block_q is None else block_q
-        bk = block_k or 1024
+        # cap only when 512 divides the fwd block: then the bwd padding
+        # is <= the fwd padding the saved LSE rows cover
+        bq = 512 if bq_fwd > 512 and bq_fwd % 512 == 0 else bq_fwd
+        bk = min(block_k or 1024, 1024)
+        n_pad_bwd = _round_up(q.shape[1], bq)
+        lse = jnp.broadcast_to(
+            lse[:, :n_pad_bwd], (lse.shape[0], n_pad_bwd, _LANES)
+        )
         return _streaming_bwd(q, k, v, out, g, lse, s,
-                              block_q=bq_fwd, block_k=bk,
+                              block_q=bq, block_k=bk,
                               interpret=interpret)
     if block_q is not None:
-        bq = block_q
+        # Fused bwd holds ~5 (block_q, n_pad) fp32 temporaries: an
+        # explicit fwd-legal block_q can exceed scoped VMEM here, so
+        # cap past the measured 128 limit (comment below).
+        n_big = max(q.shape[1], k.shape[1]) > 512
+        bq = min(block_q, 128) if n_big else block_q
     elif max(q.shape[1], k.shape[1]) <= 512:
         bq = _auto_block_q(q.shape[1])
     else:
@@ -873,6 +892,10 @@ def packed_flash_attention(
     cost is unchanged; this kernel is the inference fast path.
     """
     s = (qkv.shape[-1] // 3 // heads) ** -0.5 if scale is None else scale
+    if not interpret and jax.default_backend() != "tpu":
+        # honor the documented CPU fallback (pallas_call has no CPU
+        # lowering outside interpret mode)
+        return _packed_xla_ref(qkv, heads, s)
     return _packed_fwd(qkv, heads, s, interpret=interpret)
 
 

@@ -459,3 +459,52 @@ def test_packed_flash_attention_grads():
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-4
     )
+
+
+def test_flash_bwd_caps_blocks_and_slices_lse():
+    """Explicit fwd-legal blocks (block_q=512, block_k=2048) must not
+    be inherited verbatim by the backward (whose VMEM envelope is
+    tighter — review finding); the capped-block + 1-lane-LSE-residual
+    path must still match XLA grads."""
+    import jax
+
+    from sfc_vit_tpu.ops.attention import dot_product_attention_xla
+    from sfc_vit_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, n, 2, 64)) / 8, jnp.float32)
+        for _ in range(3)
+    )
+
+    def loss_flash(q):
+        return (flash_attention(
+            q, k, v, None, 512, 2048, interpret=True
+        ) ** 2).sum()
+
+    def loss_xla(q):
+        return (dot_product_attention_xla(q, k, v) ** 2).sum()
+
+    gf = jax.grad(loss_flash)(q)
+    gx = jax.grad(loss_xla)(q)
+    rel = float(jnp.linalg.norm(gf - gx) / (jnp.linalg.norm(gx) + 1e-9))
+    assert rel < 2e-5, rel
+
+
+def test_packed_flash_attention_cpu_fallback():
+    """The documented CPU fallback must actually exist: calling the
+    packed kernel off-TPU without interpret previously died inside
+    pallas_call (review finding)."""
+    from sfc_vit_tpu.ops.flash_attention import (
+        _packed_xla_ref,
+        packed_flash_attention,
+    )
+
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.standard_normal((2, 16, 3 * 2 * 32)),
+                      jnp.float32)
+    got = packed_flash_attention(qkv, 2)
+    want = _packed_xla_ref(qkv, 2, 32 ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
