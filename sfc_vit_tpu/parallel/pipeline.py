@@ -103,41 +103,38 @@ def pipeline_apply(
         fwd_perm = [(i, (i + 1) % s) for i in range(s)]
 
         mb_shape = xs.shape[1:]
-        # carries vary over the pipe axis (each device holds different
-        # activations) — and over the batch axis when the microbatch is
-        # data-sharded; mark the zero inits as varying so scan's type
-        # check accepts the ppermute outputs.
+        # the held-activation carry varies over the pipe axis (each
+        # device holds different activations) — and over the batch axis
+        # when the microbatch is data-sharded; mark the zero init as
+        # varying so scan's type check accepts the ppermute outputs.
         varying = (axis,) + ((batch_axis,) if batch_axis else ())
         pad = jax.lax.pcast(
             jnp.zeros(mb_shape, xs.dtype), varying, to="varying"
         )
-        outs0 = jax.lax.pcast(
-            jnp.zeros((m,) + mb_shape, xs.dtype), varying, to="varying"
-        )
 
-        def tick(carry, t):
-            held, outs = carry
+        def tick(held, t):
             # stage 0 ingests microbatch t (when one remains)...
             feed = jnp.where(t < m, t, 0)
             held = jnp.where(idx == 0, xs[feed], held)
             # ...every stage applies its block to what it holds...
             y = stage_fn(p, held)
-            # ...the last stage banks finished microbatch t - (S-1)...
-            done = t - (s - 1)
-            slot = jnp.where(done >= 0, done, 0)
-            banked = jnp.where(
-                jnp.logical_and(idx == s - 1, done >= 0), y, outs[slot]
-            )
-            outs = outs.at[slot].set(banked)
             # ...and the ring rotates activations one stage forward.
-            held = jax.lax.ppermute(y, axis, fwd_perm)
-            return (held, outs), None
+            # y is ALSO emitted as this tick's scan output: on the last
+            # stage, tick t >= S-1 is finished microbatch t - (S-1), so
+            # the M real outputs are ys[S-1:].  Banking through scan's
+            # ys writes each row exactly once — the previous carry-based
+            # bank dragged the whole [M, mb, ...] buffer through every
+            # tick's carry (double-buffered copies + a scatter per tick
+            # on ALL S stages, TODO.md perf item).
+            return jax.lax.ppermute(y, axis, fwd_perm), y
 
-        (_, outs), _ = jax.lax.scan(
-            tick, (pad, outs0), jnp.arange(ticks)
-        )
-        # Only the last stage banked real outputs; a masked psum
-        # replicates them over the pipe axis (everyone else holds 0).
+        _, ys = jax.lax.scan(tick, pad, jnp.arange(ticks))
+        outs = ys[s - 1:]
+        # Only the last stage computed real outputs; a masked psum
+        # replicates them over the pipe axis (everyone else contributes
+        # garbage zeroed by the mask).  A one-source broadcast would
+        # halve the ICI bytes, but XLA has no broadcast-from collective
+        # — masked psum is the idiomatic lowering.
         mask = (idx == s - 1).astype(outs.dtype)
         return jax.lax.psum(outs * mask, axis)
 
