@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline stages over the 'pipe' mesh axis "
                         "(pre-norm ViT families; depth must divide)")
     t.add_argument("--pipeline-microbatches", type=int, default=4)
+    t.add_argument("--fsdp", action="store_true",
+                   help="fully-sharded data parallel (ZeRO-3 over the "
+                        "'data' axis): params + Adam moments sharded, "
+                        "XLA inserts the gather/reduce-scatter "
+                        "collectives; composes with --model-parallel")
     t.add_argument("--grad-accum", type=int, default=1,
                    help="gradient-accumulation microbatches per update "
                         "(peak activation memory / N; batch size must "
@@ -184,6 +189,7 @@ def main(argv=None) -> dict:
         pipeline_microbatches=args.pipeline_microbatches,
         dropout_key_impl=args.dropout_key_impl,
         grad_accum=args.grad_accum,
+        fsdp=args.fsdp,
         tensorboard=args.tensorboard,
         # ring/sp attention needs the ambient sequence_sharding context
         # at trace time or it silently degrades to local XLA attention

@@ -13,8 +13,10 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     PIPE_AXIS,
+    apply_fsdp_sharding,
     apply_param_sharding,
     batch_sharding,
+    fsdp_sharding_rules,
     global_batch_from_local,
     host_shard_slice,
     init_distributed,
@@ -27,8 +29,10 @@ from .mesh import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "apply_fsdp_sharding",
     "apply_param_sharding",
     "batch_sharding",
+    "fsdp_sharding_rules",
     "global_batch_from_local",
     "host_shard_slice",
     "init_distributed",

@@ -29,6 +29,8 @@ __all__ = [
     "host_shard_slice",
     "param_sharding_rules",
     "apply_param_sharding",
+    "fsdp_sharding_rules",
+    "apply_fsdp_sharding",
 ]
 
 DATA_AXIS = "data"
@@ -184,5 +186,47 @@ def apply_param_sharding(mesh: Mesh, tree):
     model_size = mesh.shape[MODEL_AXIS]
     return jax.tree_util.tree_map(
         lambda v: NamedSharding(mesh, param_sharding_rules(v, model_size)),
+        tree,
+    )
+
+
+def fsdp_sharding_rules(value, data_size: int, model_size: int = 1) -> P:
+    """ZeRO-3-style fully-sharded rule, composable with tensor parallel.
+
+    Starts from the TP shape rule (when ``model_size > 1``), then shards
+    the LARGEST remaining unsharded dimension of every >=2-D tensor over
+    "data" when divisible.  Applied uniformly to params and their Adam
+    mirrors, each device holds ``1/data`` of the weights and optimizer
+    state; under ``jit`` XLA inserts the all-gathers for compute and
+    reduce-scatters for gradients (the pjit formulation of FSDP — no
+    wrapper module, just shardings).  1-D vectors and scalars replicate:
+    their bytes are negligible and sub-lane collectives cost more than
+    they save.
+    """
+    shape = getattr(value, "shape", ())
+    base = param_sharding_rules(value, model_size) if model_size > 1 else P()
+    if data_size <= 1 or len(shape) < 2:
+        return base
+    spec = list(base) + [None] * (len(shape) - len(base))
+    free = [
+        i for i in range(len(shape))
+        if spec[i] is None and shape[i] % data_size == 0
+    ]
+    if not free:
+        return base
+    spec[max(free, key=lambda j: shape[j])] = DATA_AXIS
+    return P(*spec)
+
+
+def apply_fsdp_sharding(mesh: Mesh, tree):
+    """NamedShardings for a pytree (e.g. a whole TrainState) under the
+    FSDP rule: weights + optimizer state sharded over "data" (and, on a
+    2-D mesh, additionally over "model" via the TP rule)."""
+    data_size = mesh.shape[DATA_AXIS]
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+    return jax.tree_util.tree_map(
+        lambda v: NamedSharding(
+            mesh, fsdp_sharding_rules(v, data_size, model_size)
+        ),
         tree,
     )

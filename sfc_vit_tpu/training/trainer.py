@@ -56,6 +56,13 @@ class TrainConfig:
     pipeline_parallel: int = 1  # stages over the 'pipe' mesh axis
     pipeline_microbatches: int = 4  # GPipe M (bubble = (S-1)/(M+S-1))
     grad_accum: int = 1  # microbatches per update (activation memory / A)
+    # ZeRO-3-style fully-sharded data parallel: params + Adam moments
+    # sharded over the "data" axis (largest divisible dim of every
+    # >=2-D tensor; composes with model_parallel via the TP shape
+    # rule).  XLA inserts the all-gathers/reduce-scatters — per-device
+    # weight+optimizer memory drops to ~1/data_parallel.  Not composed
+    # with pipeline_parallel (stage sharding already partitions params).
+    fsdp: bool = False
     # enter parallel.sequence_sharding(mesh, 'model') around every
     # train/eval step so attn_impl='ring'/'sp' models actually shard
     # the token axis (the context is a TRACING-time switch; without it
@@ -144,6 +151,11 @@ class Trainer:
                 params=init_params, opt_state=tx.init(init_params)
             )
         rep = replicated(self.mesh)
+        if config.fsdp and config.pipeline_parallel > 1:
+            raise ValueError(
+                "fsdp=True does not compose with pipeline_parallel>1: "
+                "stage sharding already partitions params over 'pipe'"
+            )
         if config.pipeline_parallel > 1:
             # Pipeline-parallel model path: convert the sequential param
             # tree to the pipelined layout ({"outer", "stages"}), swap
@@ -166,6 +178,10 @@ class Trainer:
                 apply_fn=apply_fn, params=pp_params, tx=tx
             )
             state_sh = pipeline_state_sharding(self.mesh, self.state)
+        elif config.fsdp:
+            from ..parallel.mesh import apply_fsdp_sharding
+
+            state_sh = apply_fsdp_sharding(self.mesh, self.state)
         else:
             state_sh = jax.tree_util.tree_map(
                 lambda _: rep, self.state
