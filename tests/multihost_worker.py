@@ -1,0 +1,118 @@
+"""Subprocess worker for the real multi-process (multi-host) test.
+
+Launched twice by ``tests/test_multihost.py`` (process_id 0 and 1), each
+process owning 2 virtual CPU devices; collectives run over Gloo exactly
+as a 2-host TPU job would run them over DCN.  Exercises the production
+multi-host path end-to-end:
+
+    init_distributed -> make_mesh (global 4-device mesh)
+    -> host_shard_slice (this host's contiguous rows of the global batch)
+    -> global_batch_from_local (make_array_from_process_local_data)
+    -> jitted make_train_step with replicated state + data-sharded batch
+       (XLA inserts the cross-process gradient all-reduce)
+
+Writes ``{"losses": [...], "digest": float, "ndev": int}`` as JSON to the
+output path.  The digest is a full reduction over the updated params
+(replicated, so every process can read its local copy) — the test
+asserts both processes agree bit-for-bit and match a single-process run.
+
+The reference has no distributed story at all (SURVEY.md §2f: no
+torch.distributed anywhere); this is the new-capability axis, tested for
+real rather than only via the single-process 8-device dryrun.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port, out_path = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    )
+
+    import jax
+
+    # The axon sitecustomize force-sets JAX_PLATFORMS; override in-process
+    # (same trick as tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+
+    from sfc_vit_tpu.parallel import (
+        batch_sharding,
+        global_batch_from_local,
+        host_shard_slice,
+        init_distributed,
+        make_mesh,
+        replicated,
+    )
+
+    init_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.local_device_count() == 2, jax.local_device_count()
+
+    import numpy as np
+
+    from sfc_vit_tpu.models import SimpleViT
+    from sfc_vit_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        warmup_cosine,
+    )
+
+    mesh = make_mesh()  # (data=4, model=1, pipe=1) over both processes
+    model = SimpleViT(
+        image_size=16, patch_size=4, num_classes=10, dim=32, depth=1,
+        heads=2, mlp_dim=64, dim_head=16,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    y = (np.arange(8) % 10).astype(np.int32)
+
+    sched = warmup_cosine(1e-3, 2, 10)
+    state = create_train_state(
+        model, jax.random.key(0), x[:2], make_optimizer(sched)
+    )
+    rep = replicated(mesh)
+    state_sh = jax.tree_util.tree_map(lambda _: rep, state)
+    state = jax.device_put(state, state_sh)
+    bsh = batch_sharding(mesh)
+    step = jax.jit(
+        make_train_step(num_classes=10, schedule=sched),
+        in_shardings=(state_sh, (bsh, bsh), None),
+        out_shardings=(state_sh, rep),
+        donate_argnums=(0,),
+    )
+
+    sl = host_shard_slice(8)  # contiguous: process-order concat == global
+    batch = global_batch_from_local(mesh, (x[sl], y[sl]))
+
+    losses = []
+    key = jax.random.key(1)
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+
+    digest = float(
+        sum(
+            np.abs(np.asarray(leaf.addressable_shards[0].data, np.float64)).sum()
+            for leaf in jax.tree_util.tree_leaves(state.params)
+        )
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {"losses": losses, "digest": digest,
+             "ndev": jax.device_count()}, f,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Real multi-process data parallelism: 2 processes x 2 CPU devices.
+
+The single-process suite covers the 8-virtual-device mesh; this test
+runs the SAME production helpers across an actual process boundary
+(``jax.distributed`` + Gloo collectives, the CPU stand-in for a 2-host
+TPU job) and pins three facts:
+
+* both processes compute identical losses and updated params
+  (deterministic, replica-consistent training);
+* the 2-process run matches a single-process run on the same global
+  batch (host sharding + cross-process all-reduce change nothing);
+* ``init_distributed`` / ``host_shard_slice`` /
+  ``global_batch_from_local`` compose into a working multi-host step
+  (the path ``cli.py`` takes under real multi-host launch).
+
+Reference baseline: none — SURVEY.md §2f records the reference as
+strictly single-GPU with no torch.distributed anywhere; this capability
+axis is new.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def multihost_results(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mh")
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # the workers size their own virtual-device count
+    env.pop("XLA_FLAGS", None)
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp / f"w{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, str(pid), "2", str(port), str(out)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-2000:]}"
+    return [json.loads(o.read_text()) for o in outs]
+
+
+def test_processes_agree(multihost_results):
+    r0, r1 = multihost_results
+    assert r0["ndev"] == r1["ndev"] == 4
+    assert r0["losses"] == r1["losses"]
+    assert r0["digest"] == r1["digest"]
+
+
+def test_matches_single_process(multihost_results):
+    """Same global batch, no process boundary -> same training run."""
+    import jax
+
+    from sfc_vit_tpu.models import SimpleViT
+    from sfc_vit_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        warmup_cosine,
+    )
+
+    model = SimpleViT(
+        image_size=16, patch_size=4, num_classes=10, dim=32, depth=1,
+        heads=2, mlp_dim=64, dim_head=16,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    y = (np.arange(8) % 10).astype(np.int32)
+    sched = warmup_cosine(1e-3, 2, 10)
+    state = create_train_state(
+        model, jax.random.key(0), x[:2], make_optimizer(sched)
+    )
+    step = jax.jit(make_train_step(num_classes=10, schedule=sched))
+    key = jax.random.key(1)
+    losses = []
+    for i in range(2):
+        state, m = step(state, (x, y), jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+    digest = float(
+        sum(
+            np.abs(np.asarray(l, np.float64)).sum()
+            for l in jax.tree_util.tree_leaves(state.params)
+        )
+    )
+
+    r0 = multihost_results[0]
+    np.testing.assert_allclose(r0["losses"], losses, rtol=1e-6)
+    np.testing.assert_allclose(r0["digest"], digest, rtol=1e-7)
