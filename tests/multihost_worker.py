@@ -11,10 +11,17 @@ multi-host path end-to-end:
     -> jitted make_train_step with replicated state + data-sharded batch
        (XLA inserts the cross-process gradient all-reduce)
 
+An optional 5th argv selects the state sharding mode: ``dp`` (default,
+replicated params) or ``fsdp`` (``apply_fsdp_sharding``: params + Adam
+moments ZeRO-3-sharded over the SAME "data" axis, which here spans the
+process boundary — the per-step param all-gathers and gradient
+reduce-scatters cross Gloo, exactly what a 2-host FSDP job does on DCN).
+
 Writes ``{"losses": [...], "digest": float, "ndev": int}`` as JSON to the
 output path.  The digest is a full reduction over the updated params
-(replicated, so every process can read its local copy) — the test
-asserts both processes agree bit-for-bit and match a single-process run.
+(re-replicated in-graph first, so every process can read its local copy)
+— the test asserts both processes agree bit-for-bit and match a
+single-process run.
 
 The reference has no distributed story at all (SURVEY.md §2f: no
 torch.distributed anywhere); this is the new-capability axis, tested for
@@ -30,6 +37,7 @@ def main() -> None:
     pid, nproc, port, out_path = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=2"
@@ -82,7 +90,12 @@ def main() -> None:
         model, jax.random.key(0), x[:2], make_optimizer(sched)
     )
     rep = replicated(mesh)
-    state_sh = jax.tree_util.tree_map(lambda _: rep, state)
+    if mode == "fsdp":
+        from sfc_vit_tpu.parallel import apply_fsdp_sharding
+
+        state_sh = apply_fsdp_sharding(mesh, state)
+    else:
+        state_sh = jax.tree_util.tree_map(lambda _: rep, state)
     state = jax.device_put(state, state_sh)
     bsh = batch_sharding(mesh)
     step = jax.jit(
@@ -101,10 +114,16 @@ def main() -> None:
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
         losses.append(float(metrics["loss"]))
 
+    # Re-replicate params in-graph (under fsdp each process holds only its
+    # shards) so the host-side f64 digest reads identical data everywhere.
+    params = jax.jit(
+        lambda p: p,
+        out_shardings=jax.tree_util.tree_map(lambda _: rep, state.params),
+    )(state.params)
     digest = float(
         sum(
             np.abs(np.asarray(leaf.addressable_shards[0].data, np.float64)).sum()
-            for leaf in jax.tree_util.tree_leaves(state.params)
+            for leaf in jax.tree_util.tree_leaves(params)
         )
     )
     with open(out_path, "w") as f:

@@ -1,17 +1,20 @@
-"""Real multi-process data parallelism: 2 processes x 2 CPU devices.
+"""Real multi-process parallelism: 2 processes x 2 CPU devices.
 
-The single-process suite covers the 8-virtual-device mesh; this test
-runs the SAME production helpers across an actual process boundary
+The single-process suite covers the 8-virtual-device mesh; these tests
+run the SAME production helpers across an actual process boundary
 (``jax.distributed`` + Gloo collectives, the CPU stand-in for a 2-host
-TPU job) and pins three facts:
+TPU job) and pin three facts, in two state-sharding modes (``dp`` =
+replicated params, ``fsdp`` = ZeRO-3 params/Adam sharded over the same
+axis, so per-step all-gathers cross the process boundary):
 
 * both processes compute identical losses and updated params
   (deterministic, replica-consistent training);
-* the 2-process run matches a single-process run on the same global
-  batch (host sharding + cross-process all-reduce change nothing);
+* the multi-process run matches a single-process run on the same global
+  batch (host sharding + cross-process collectives change nothing);
 * ``init_distributed`` / ``host_shard_slice`` /
-  ``global_batch_from_local`` compose into a working multi-host step
-  (the path ``cli.py`` takes under real multi-host launch).
+  ``global_batch_from_local`` / ``apply_fsdp_sharding`` compose into a
+  working multi-host step (the path ``cli.py`` takes under real
+  multi-host launch).
 
 Reference baseline: none — SURVEY.md §2f records the reference as
 strictly single-GPU with no torch.distributed anywhere; this capability
@@ -37,9 +40,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def multihost_results(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("mh")
+def _run_workers(tmp, mode):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -47,11 +48,12 @@ def multihost_results(tmp_path_factory):
     env.pop("XLA_FLAGS", None)
     procs, outs = [], []
     for pid in range(2):
-        out = tmp / f"w{pid}.json"
+        out = tmp / f"{mode}_w{pid}.json"
         outs.append(out)
         procs.append(
             subprocess.Popen(
-                [sys.executable, WORKER, str(pid), "2", str(port), str(out)],
+                [sys.executable, WORKER, str(pid), "2", str(port),
+                 str(out), mode],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -63,15 +65,14 @@ def multihost_results(tmp_path_factory):
     return [json.loads(o.read_text()) for o in outs]
 
 
-def test_processes_agree(multihost_results):
-    r0, r1 = multihost_results
-    assert r0["ndev"] == r1["ndev"] == 4
-    assert r0["losses"] == r1["losses"]
-    assert r0["digest"] == r1["digest"]
+@pytest.fixture(scope="module", params=["dp", "fsdp"])
+def multihost_results(request, tmp_path_factory):
+    return _run_workers(tmp_path_factory.mktemp("mh"), request.param)
 
 
-def test_matches_single_process(multihost_results):
-    """Same global batch, no process boundary -> same training run."""
+@pytest.fixture(scope="module")
+def single_process_reference():
+    """Same model/batch/steps with no process boundary."""
     import jax
 
     from sfc_vit_tpu.models import SimpleViT
@@ -105,7 +106,19 @@ def test_matches_single_process(multihost_results):
             for l in jax.tree_util.tree_leaves(state.params)
         )
     )
+    return losses, digest
 
+
+def test_processes_agree(multihost_results):
+    r0, r1 = multihost_results
+    assert r0["ndev"] == r1["ndev"] == 4
+    assert r0["losses"] == r1["losses"]
+    assert r0["digest"] == r1["digest"]
+
+
+def test_matches_single_process(multihost_results, single_process_reference):
+    """Same global batch, no process boundary -> same training run."""
+    losses, digest = single_process_reference
     r0 = multihost_results[0]
     np.testing.assert_allclose(r0["losses"], losses, rtol=1e-6)
     np.testing.assert_allclose(r0["digest"], digest, rtol=1e-7)
