@@ -114,6 +114,40 @@ def main() -> None:
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
         losses.append(float(metrics["loss"]))
 
+    eval_totals = None
+    if mode == "dp":
+        # Exact-sample-accounting eval across the process boundary: 7
+        # samples over 2 hosts via the production strided shard
+        # (epoch_batches drop_last=False pads the short host's shard
+        # with label -1; make_eval_step masks those rows out of every
+        # metric).  The global count must be exactly 7.
+        from sfc_vit_tpu.data import Dataset, epoch_batches
+        from sfc_vit_tpu.training import make_eval_step
+
+        rng2 = np.random.default_rng(7)
+        ds = Dataset(
+            rng2.integers(0, 256, (7, 16, 16, 3)).astype(np.uint8),
+            (np.arange(7) % 10).astype(np.int32),
+            10,
+        )
+        eval_step = jax.jit(
+            make_eval_step(num_classes=10),
+            in_shardings=(state_sh, (bsh, bsh)),
+            out_shardings=rep,
+        )
+        eval_totals = {"loss_sum": 0.0, "correct": 0, "count": 0}
+        for bx, by in epoch_batches(
+            ds, 4, shuffle=False, drop_last=False,
+            process_index=pid, process_count=nproc,
+        ):
+            gb = global_batch_from_local(
+                mesh, (bx.astype(np.float32) / 255.0, by)
+            )
+            m = jax.device_get(eval_step(state, gb))
+            eval_totals["loss_sum"] += float(m["loss_sum"])
+            eval_totals["correct"] += int(m["correct"])
+            eval_totals["count"] += int(m["count"])
+
     # Re-replicate params in-graph (under fsdp each process holds only its
     # shards) so the host-side f64 digest reads identical data everywhere.
     params = jax.jit(
@@ -129,7 +163,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(
             {"losses": losses, "digest": digest,
-             "ndev": jax.device_count()}, f,
+             "ndev": jax.device_count(), "eval": eval_totals}, f,
         )
 
 

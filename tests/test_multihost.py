@@ -106,7 +106,22 @@ def single_process_reference():
             for l in jax.tree_util.tree_leaves(state.params)
         )
     )
-    return losses, digest
+
+    # eval over the SAME 7-sample set the workers shard between hosts
+    from sfc_vit_tpu.training import make_eval_step
+
+    rng2 = np.random.default_rng(7)
+    ex = rng2.integers(0, 256, (7, 16, 16, 3)).astype(np.float32) / 255.0
+    ey = (np.arange(7) % 10).astype(np.int32)
+    m = jax.device_get(
+        jax.jit(make_eval_step(num_classes=10))(state, (ex, ey))
+    )
+    eval_totals = {
+        "loss_sum": float(m["loss_sum"]),
+        "correct": int(m["correct"]),
+        "count": int(m["count"]),
+    }
+    return losses, digest, eval_totals
 
 
 def test_processes_agree(multihost_results):
@@ -114,11 +129,18 @@ def test_processes_agree(multihost_results):
     assert r0["ndev"] == r1["ndev"] == 4
     assert r0["losses"] == r1["losses"]
     assert r0["digest"] == r1["digest"]
+    assert r0["eval"] == r1["eval"]
 
 
 def test_matches_single_process(multihost_results, single_process_reference):
     """Same global batch, no process boundary -> same training run."""
-    losses, digest = single_process_reference
+    losses, digest, eval_totals = single_process_reference
     r0 = multihost_results[0]
     np.testing.assert_allclose(r0["losses"], losses, rtol=1e-6)
     np.testing.assert_allclose(r0["digest"], digest, rtol=1e-7)
+    if r0["eval"] is not None:  # dp mode: strided-pad eval accounting
+        assert r0["eval"]["count"] == eval_totals["count"] == 7
+        assert r0["eval"]["correct"] == eval_totals["correct"]
+        np.testing.assert_allclose(
+            r0["eval"]["loss_sum"], eval_totals["loss_sum"], rtol=1e-5
+        )
