@@ -16,6 +16,9 @@ replicated params) or ``fsdp`` (``apply_fsdp_sharding``: params + Adam
 moments ZeRO-3-sharded over the SAME "data" axis, which here spans the
 process boundary — the per-step param all-gathers and gradient
 reduce-scatters cross Gloo, exactly what a 2-host FSDP job does on DCN).
+In fsdp mode the worker also round-trips the sharded TrainState through
+a distributed Orbax checkpoint (argv[6]: shared directory — each
+process writes/reads only the shards it owns) and digests the restore.
 
 Writes ``{"losses": [...], "digest": float, "ndev": int}`` as JSON to the
 output path.  The digest is a full reduction over the updated params
@@ -38,6 +41,7 @@ def main() -> None:
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
     mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
+    ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else None
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=2"
@@ -150,20 +154,45 @@ def main() -> None:
 
     # Re-replicate params in-graph (under fsdp each process holds only its
     # shards) so the host-side f64 digest reads identical data everywhere.
-    params = jax.jit(
-        lambda p: p,
-        out_shardings=jax.tree_util.tree_map(lambda _: rep, state.params),
-    )(state.params)
-    digest = float(
-        sum(
-            np.abs(np.asarray(leaf.addressable_shards[0].data, np.float64)).sum()
-            for leaf in jax.tree_util.tree_leaves(params)
+    def _digest(p):
+        p = jax.jit(
+            lambda q: q,
+            out_shardings=jax.tree_util.tree_map(lambda _: rep, p),
+        )(p)
+        return float(
+            sum(
+                np.abs(
+                    np.asarray(leaf.addressable_shards[0].data, np.float64)
+                ).sum()
+                for leaf in jax.tree_util.tree_leaves(p)
+            )
         )
-    )
+
+    digest = _digest(state.params)
+
+    ckpt_digest = None
+    if mode == "fsdp" and ckpt_dir is not None:
+        # Distributed checkpoint round-trip: every process writes the
+        # shards it owns (params + Adam moments are sharded ACROSS the
+        # process boundary), then restores into a zeroed template with
+        # the same shardings — the digest matching proves the values
+        # came back from disk, reassembled from per-host shard files.
+        import jax.numpy as jnp
+
+        from sfc_vit_tpu.training import Checkpointer
+
+        ck = Checkpointer(ckpt_dir, keep=1)
+        ck.save(2, state, {"test_accuracy": 0.5})
+        ck.wait()
+        template = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored = ck.restore(template)
+        ck.close()
+        ckpt_digest = _digest(restored.params)
     with open(out_path, "w") as f:
         json.dump(
             {"losses": losses, "digest": digest,
-             "ndev": jax.device_count(), "eval": eval_totals}, f,
+             "ndev": jax.device_count(), "eval": eval_totals,
+             "ckpt_digest": ckpt_digest}, f,
         )
 
 

@@ -47,13 +47,14 @@ def _run_workers(tmp, mode):
     # the workers size their own virtual-device count
     env.pop("XLA_FLAGS", None)
     procs, outs = [], []
+    ckpt_dir = str(tmp / "ckpt")  # shared by both processes (fsdp mode)
     for pid in range(2):
         out = tmp / f"{mode}_w{pid}.json"
         outs.append(out)
         procs.append(
             subprocess.Popen(
                 [sys.executable, WORKER, str(pid), "2", str(port),
-                 str(out), mode],
+                 str(out), mode, ckpt_dir],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -130,6 +131,9 @@ def test_processes_agree(multihost_results):
     assert r0["losses"] == r1["losses"]
     assert r0["digest"] == r1["digest"]
     assert r0["eval"] == r1["eval"]
+    if r0["ckpt_digest"] is not None:  # fsdp: distributed Orbax round-trip
+        assert r0["ckpt_digest"] == r0["digest"]
+        assert r1["ckpt_digest"] == r1["digest"]
 
 
 def test_matches_single_process(multihost_results, single_process_reference):
