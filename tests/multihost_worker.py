@@ -20,6 +20,12 @@ In fsdp mode the worker also round-trips the sharded TrainState through
 a distributed Orbax checkpoint (argv[6]: shared directory — each
 process writes/reads only the shards it owns) and digests the restore.
 
+``pp`` mode runs the Trainer's ``--pipeline-parallel 4`` model path on
+a (data=1, model=1, pipe=4) mesh whose stage ring spans both processes
+(2 local devices each), so the GPipe ppermute activation rotation at
+the stage-2/3 boundary crosses Gloo.  Launched with nproc=1 (4 local
+devices) the same code is its own single-process reference.
+
 Writes ``{"losses": [...], "digest": float, "ndev": int}`` as JSON to the
 output path.  The digest is a full reduction over the updated params
 (re-replicated in-graph first, so every process can read its local copy)
@@ -36,15 +42,65 @@ import os
 import sys
 
 
+def _run_pipeline_mode(jax, np, out_path: str) -> None:
+    """Trainer --pipeline-parallel 4 on the 4 global devices: the GPipe
+    ppermute stage ring crosses the process boundary when nproc=2.
+    Batches are replicated (data=1), so every process feeds the same
+    full global batch (shard_batch handles the assembly)."""
+    from sfc_vit_tpu.models import CurveViT
+    from sfc_vit_tpu.parallel import replicated
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    model = CurveViT(
+        curve="hilbert", image_size=32, patch_size=4, num_classes=10,
+        dim=64, depth=4, heads=2, mlp_dim=128, dim_head=32,
+    )
+    cfg = TrainConfig(
+        num_classes=10, epochs=1, warmup_epochs=0, use_mixing=False,
+        data_parallel=1, pipeline_parallel=4, pipeline_microbatches=2,
+    )
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    ys = (np.arange(16) % 10).astype(np.int32)
+    tr = Trainer(
+        model, cfg, steps_per_epoch=2,
+        sample_input=np.zeros((2, 32, 32, 3), np.float32),
+    )
+    batches = lambda: iter([(xs[:8], ys[:8]), (xs[8:], ys[8:])])
+    rec = tr.train_epoch(batches())
+    ev = tr.evaluate(batches())
+
+    rep = replicated(tr.mesh)
+    params = jax.jit(
+        lambda p: p,
+        out_shardings=jax.tree_util.tree_map(lambda _: rep, tr.state.params),
+    )(tr.state.params)
+    digest = float(
+        sum(
+            np.abs(
+                np.asarray(leaf.addressable_shards[0].data, np.float64)
+            ).sum()
+            for leaf in jax.tree_util.tree_leaves(params)
+        )
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {"losses": [rec["train_loss"], ev["test_loss"]],
+             "digest": digest, "ndev": jax.device_count(),
+             "eval": None, "ckpt_digest": None}, f,
+        )
+
+
 def main() -> None:
     pid, nproc, port, out_path = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
     mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
     ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else None
+    ndev_local = 4 // nproc  # 4 global devices regardless of nproc
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2"
+        + f" --xla_force_host_platform_device_count={ndev_local}"
     )
 
     import jax
@@ -68,9 +124,13 @@ def main() -> None:
         process_id=pid,
     )
     assert jax.process_count() == nproc, jax.process_count()
-    assert jax.local_device_count() == 2, jax.local_device_count()
+    assert jax.local_device_count() == ndev_local, jax.local_device_count()
 
     import numpy as np
+
+    if mode == "pp":
+        _run_pipeline_mode(jax, np, out_path)
+        return
 
     from sfc_vit_tpu.models import SimpleViT
     from sfc_vit_tpu.training import (

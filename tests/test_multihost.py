@@ -3,9 +3,12 @@
 The single-process suite covers the 8-virtual-device mesh; these tests
 run the SAME production helpers across an actual process boundary
 (``jax.distributed`` + Gloo collectives, the CPU stand-in for a 2-host
-TPU job) and pin three facts, in two state-sharding modes (``dp`` =
-replicated params, ``fsdp`` = ZeRO-3 params/Adam sharded over the same
-axis, so per-step all-gathers cross the process boundary):
+TPU job) and pin three facts, in three modes (``dp`` = replicated
+params + cross-process gradient all-reduce, ``fsdp`` = ZeRO-3
+params/Adam sharded over the same axis so per-step all-gathers cross
+the process boundary + a distributed Orbax round-trip, ``pp`` =
+Trainer --pipeline-parallel 4 with the GPipe ppermute stage ring
+spanning both processes):
 
 * both processes compute identical losses and updated params
   (deterministic, replica-consistent training);
@@ -66,9 +69,32 @@ def _run_workers(tmp, mode):
     return [json.loads(o.read_text()) for o in outs]
 
 
-@pytest.fixture(scope="module", params=["dp", "fsdp"])
+def _run_single(tmp, mode):
+    """Same worker, nproc=1 (4 local devices): the pp reference run."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    out = tmp / f"{mode}_ref.json"
+    p = subprocess.Popen(
+        [sys.executable, WORKER, "0", "1", str(port), str(out), mode],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    log = p.communicate(timeout=420)[0].decode()
+    assert p.returncode == 0, f"reference worker failed:\n{log[-2000:]}"
+    return json.loads(out.read_text())
+
+
+@pytest.fixture(scope="module", params=["dp", "fsdp", "pp"])
 def multihost_results(request, tmp_path_factory):
-    return _run_workers(tmp_path_factory.mktemp("mh"), request.param)
+    tmp = tmp_path_factory.mktemp("mh")
+    res = _run_workers(tmp, request.param)
+    if request.param == "pp":
+        # pp parity reference: identical worker code, no process
+        # boundary (Trainer config needs exactly 4 devices, so the
+        # in-process 8-device suite can't be the reference).
+        res.append(_run_single(tmp, "pp"))
+    return res
 
 
 @pytest.fixture(scope="module")
@@ -126,7 +152,7 @@ def single_process_reference():
 
 
 def test_processes_agree(multihost_results):
-    r0, r1 = multihost_results
+    r0, r1 = multihost_results[:2]
     assert r0["ndev"] == r1["ndev"] == 4
     assert r0["losses"] == r1["losses"]
     assert r0["digest"] == r1["digest"]
@@ -138,8 +164,13 @@ def test_processes_agree(multihost_results):
 
 def test_matches_single_process(multihost_results, single_process_reference):
     """Same global batch, no process boundary -> same training run."""
-    losses, digest, eval_totals = single_process_reference
     r0 = multihost_results[0]
+    if len(multihost_results) == 3:  # pp: reference is the nproc=1 worker
+        ref = multihost_results[2]
+        np.testing.assert_allclose(r0["losses"], ref["losses"], rtol=1e-6)
+        np.testing.assert_allclose(r0["digest"], ref["digest"], rtol=1e-7)
+        return
+    losses, digest, eval_totals = single_process_reference
     np.testing.assert_allclose(r0["losses"], losses, rtol=1e-6)
     np.testing.assert_allclose(r0["digest"], digest, rtol=1e-7)
     if r0["eval"] is not None:  # dp mode: strided-pad eval accounting
