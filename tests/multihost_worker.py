@@ -23,8 +23,12 @@ process writes/reads only the shards it owns) and digests the restore.
 ``pp`` mode runs the Trainer's ``--pipeline-parallel 4`` model path on
 a (data=1, model=1, pipe=4) mesh whose stage ring spans both processes
 (2 local devices each), so the GPipe ppermute activation rotation at
-the stage-2/3 boundary crosses Gloo.  Launched with nproc=1 (4 local
-devices) the same code is its own single-process reference.
+the stage-2/3 boundary crosses Gloo.  ``sp`` mode runs a CurveViT with
+``attn_impl='ring'`` + ``sequence_parallel`` on (data=1, model=4): ring
+attention's K/V ppermute ring crosses the boundary every layer (the
+worker asserts collective_permute is in the lowered step).  Launched
+with nproc=1 (4 local devices) the same code is its own single-process
+reference.
 
 Writes ``{"losses": [...], "digest": float, "ndev": int}`` as JSON to the
 output path.  The digest is a full reduction over the updated params
@@ -42,23 +46,40 @@ import os
 import sys
 
 
-def _run_pipeline_mode(jax, np, out_path: str) -> None:
-    """Trainer --pipeline-parallel 4 on the 4 global devices: the GPipe
-    ppermute stage ring crosses the process boundary when nproc=2.
-    Batches are replicated (data=1), so every process feeds the same
-    full global batch (shard_batch handles the assembly)."""
+def _run_trainer_mode(jax, np, out_path: str, mode: str) -> None:
+    """Trainer model paths whose collectives cross the process boundary
+    when nproc=2 (mesh axes of size 4 over 2x2 devices):
+
+    * ``pp`` — --pipeline-parallel 4: the GPipe ppermute stage ring
+      rotates activations across the boundary at stage 2/3;
+    * ``sp`` — attn_impl='ring' + sequence_parallel on model=4: ring
+      attention's K/V ppermute ring crosses the boundary every step.
+
+    Batches are replicated over the size-1 data axis, so every process
+    feeds the same full global batch (shard_batch handles assembly)."""
     from sfc_vit_tpu.models import CurveViT
     from sfc_vit_tpu.parallel import replicated
     from sfc_vit_tpu.training import TrainConfig, Trainer
 
-    model = CurveViT(
-        curve="hilbert", image_size=32, patch_size=4, num_classes=10,
-        dim=64, depth=4, heads=2, mlp_dim=128, dim_head=32,
-    )
-    cfg = TrainConfig(
-        num_classes=10, epochs=1, warmup_epochs=0, use_mixing=False,
-        data_parallel=1, pipeline_parallel=4, pipeline_microbatches=2,
-    )
+    if mode == "pp":
+        model = CurveViT(
+            curve="hilbert", image_size=32, patch_size=4, num_classes=10,
+            dim=64, depth=4, heads=2, mlp_dim=128, dim_head=32,
+        )
+        cfg = TrainConfig(
+            num_classes=10, epochs=1, warmup_epochs=0, use_mixing=False,
+            data_parallel=1, pipeline_parallel=4, pipeline_microbatches=2,
+        )
+    else:  # sp
+        model = CurveViT(
+            curve="hilbert", image_size=32, patch_size=4, num_classes=10,
+            dim=64, depth=2, heads=2, mlp_dim=128, dim_head=32,
+            attn_impl="ring",
+        )
+        cfg = TrainConfig(
+            num_classes=10, epochs=1, warmup_epochs=0, use_mixing=False,
+            data_parallel=1, model_parallel=4, sequence_parallel=True,
+        )
     rng = np.random.default_rng(0)
     xs = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
     ys = (np.arange(16) % 10).astype(np.int32)
@@ -67,6 +88,16 @@ def _run_pipeline_mode(jax, np, out_path: str) -> None:
         sample_input=np.zeros((2, 32, 32, 3), np.float32),
     )
     batches = lambda: iter([(xs[:8], ys[:8]), (xs[8:], ys[8:])])
+    if mode == "sp":
+        # ring attention must actually trace its ppermute ring (a
+        # silent fallback to local attention would pass parity on both
+        # sides of the comparison)
+        from sfc_vit_tpu.parallel.mesh import shard_batch
+
+        b = shard_batch(tr.mesh, (xs[:8], ys[:8]))
+        with tr._seq_ctx():
+            txt = tr._train_step.lower(tr.state, b, tr.rng).as_text()
+        assert "collective_permute" in txt, "ring attention not engaged"
     rec = tr.train_epoch(batches())
     ev = tr.evaluate(batches())
 
@@ -128,8 +159,8 @@ def main() -> None:
 
     import numpy as np
 
-    if mode == "pp":
-        _run_pipeline_mode(jax, np, out_path)
+    if mode in ("pp", "sp"):
+        _run_trainer_mode(jax, np, out_path, mode)
         return
 
     from sfc_vit_tpu.models import SimpleViT

@@ -8,7 +8,8 @@ params + cross-process gradient all-reduce, ``fsdp`` = ZeRO-3
 params/Adam sharded over the same axis so per-step all-gathers cross
 the process boundary + a distributed Orbax round-trip, ``pp`` =
 Trainer --pipeline-parallel 4 with the GPipe ppermute stage ring
-spanning both processes):
+spanning both processes, ``sp`` = attn_impl='ring' sequence parallelism
+with the K/V ppermute ring spanning both processes):
 
 * both processes compute identical losses and updated params
   (deterministic, replica-consistent training);
@@ -85,15 +86,15 @@ def _run_single(tmp, mode):
     return json.loads(out.read_text())
 
 
-@pytest.fixture(scope="module", params=["dp", "fsdp", "pp"])
+@pytest.fixture(scope="module", params=["dp", "fsdp", "pp", "sp"])
 def multihost_results(request, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("mh")
     res = _run_workers(tmp, request.param)
-    if request.param == "pp":
-        # pp parity reference: identical worker code, no process
-        # boundary (Trainer config needs exactly 4 devices, so the
+    if request.param in ("pp", "sp"):
+        # parity reference: identical worker code, no process boundary
+        # (the Trainer config needs exactly 4 devices, so the
         # in-process 8-device suite can't be the reference).
-        res.append(_run_single(tmp, "pp"))
+        res.append(_run_single(tmp, request.param))
     return res
 
 
@@ -165,7 +166,7 @@ def test_processes_agree(multihost_results):
 def test_matches_single_process(multihost_results, single_process_reference):
     """Same global batch, no process boundary -> same training run."""
     r0 = multihost_results[0]
-    if len(multihost_results) == 3:  # pp: reference is the nproc=1 worker
+    if len(multihost_results) == 3:  # pp/sp: reference is the nproc=1 worker
         ref = multihost_results[2]
         np.testing.assert_allclose(r0["losses"], ref["losses"], rtol=1e-6)
         np.testing.assert_allclose(r0["digest"], ref["digest"], rtol=1e-7)
