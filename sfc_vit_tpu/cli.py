@@ -201,20 +201,21 @@ def main(argv=None) -> dict:
             (2, args.img_size, args.img_size, 3), np.float32
         ),
     )
+    eval_tf = make_eval_transform(mean, std)
+
+    def eval_data():
+        # batches stay ON DEVICE (see the train-loop note below)
+        for xb, yb in epoch_batches(
+            test_ds, args.batch_size, shuffle=False, drop_last=False,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        ):
+            yield eval_tf(xb), yb
+
     if args.eval_only:
         assert trainer.checkpointer is not None, "--eval-only needs --workdir"
         trainer.state = trainer.checkpointer.restore_best(trainer.state)
-        eval_tf0 = make_eval_transform(mean, std)
-
-        def eval_batches():
-            for xb, yb in epoch_batches(
-                test_ds, args.batch_size, shuffle=False, drop_last=False,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
-            ):
-                yield np.asarray(eval_tf0(xb)), yb
-
-        result = trainer.evaluate(eval_batches())
+        result = trainer.evaluate(eval_data())
         print(
             f"eval: step={int(trainer.state.step)} "
             f"test_loss={result['test_loss']:.4f} "
@@ -231,7 +232,6 @@ def main(argv=None) -> dict:
         if not args.no_augment
         else None
     )
-    eval_tf = make_eval_transform(mean, std)
     aug_key = jax.random.key(args.seed + 17)
     # resume-aware epoch counter: shuffle order and augmentation keys
     # continue from the restored epoch, keeping runs replayable.
@@ -262,14 +262,6 @@ def main(argv=None) -> dict:
             # round-trip dominated the host pipeline (round 3 fix).
             # Trainer.shard_batch device_puts are no-ops / D2D.
             yield x, yb
-
-    def eval_data():
-        for xb, yb in epoch_batches(
-            test_ds, args.batch_size, shuffle=False, drop_last=False,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
-        ):
-            yield eval_tf(xb), yb
 
     result = trainer.fit(train_epoch_data, eval_data)
     print(

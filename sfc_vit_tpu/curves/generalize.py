@@ -115,6 +115,26 @@ def _block_base(fn) -> int:
     return 3 if fn is peano_curve else 2
 
 
+def _block_points(fn, k: int, b: int) -> np.ndarray:
+    """Curve points covering a b x b block (b = base ** k), float64.
+
+    The reference calls ``fn(order, size=b)`` unconditionally
+    (``space_filling_curves.py:537-560``), which breaks for the onion
+    curve: ``onion_curve(order)`` covers a (2*order)-sided grid, so the
+    block order k only covers the block for b in {2, 4}, *crashes* on
+    b == 1 (``generate_coords(0)`` is empty and ``size / 0`` raises
+    ZeroDivisionError -- reference bug, fixed here not reproduced) and
+    under-covers b >= 8.  We call onion with order b // 2 (exact cover)
+    and give the trivial 1 x 1 block its single center point directly.
+    Non-onion curves keep the reference behavior bit-for-bit.
+    """
+    if fn is onion_curve:
+        if b == 1:
+            return np.asarray([[0.5, 0.5]], dtype=np.float64)
+        return np.asarray(fn(b // 2, size=float(b)), dtype=np.float64)
+    return np.asarray(fn(k, size=float(b)), dtype=np.float64)
+
+
 def _block_order(m: int, base: int) -> int:
     """floor(log_base(m)) computed as the reference does (float log ratio).
 
@@ -153,7 +173,7 @@ def block_stitch_sfc(sfc, width: int, height: int):
     default_entries: List[Cell] = []
     raw_by_block: List[np.ndarray] = []
     for (bx, by, b, k) in blocks:
-        raw = np.asarray(fn(k, size=float(b)), dtype=np.float64)
+        raw = _block_points(fn, k, b)
         raw_by_block.append(raw)
         default_entries.append(
             (bx + math.floor(raw[0, 0]), by + math.floor(raw[0, 1]))

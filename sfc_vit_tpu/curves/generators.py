@@ -254,9 +254,13 @@ def onion_curve(order: int, size: float = 1.0) -> List[Point]:
     """Onion (spiral ring) curve; cf. ``space_filling_curves.py:9-71``.
 
     Like the reference, the order is doubled internally, so the grid is
-    (2*order)x(2*order) and the point count is 4*order^2.
+    (2*order)x(2*order) and the point count is 4*order^2.  Order 0 is
+    the empty grid and returns [] (the reference raises
+    ZeroDivisionError scaling by the zero grid side -- bug, fixed).
     """
     order = int(order)
+    if order == 0:
+        return []
     return _scale(_onion_int(order), 2 * order, size)
 
 

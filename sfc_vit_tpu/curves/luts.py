@@ -55,8 +55,9 @@ def _coords_cached(name: str, d0: int, d1: int) -> np.ndarray:
     if name == "onion":
         # The tokenizers use the direct spiral walk, not embed-and-prune
         # (whose onion path yields duplicate cells -- see generalize.py).
-        # onion_cells(rows=d0, cols=d1) returns (row, col) pairs.
-        return onion_cells(d0, d1)
+        # onion cells are (row, col) pairs with rows=d0, cols=d1; use
+        # the read-only cached array (curve_coords copies on the way out).
+        return _onion_cells_cached(d0, d1)
     if name == "raster":
         # Row-major enumeration, so flat/pixel LUTs are the identity --
         # the reference raster baselines apply *no* reorder
@@ -80,7 +81,9 @@ def flat_lut(curve: CurveLike, grid: int) -> np.ndarray:
     flat index = i * grid + j for curve cell (i, j), matching
     ``SFCEmbedding1D._sfc_indices`` (``multi_morton.py:68-72``) and -- for
     Hilbert on power-of-2 grids -- ``HilbertPatchEmbedding._hilbert_order``
-    (``altvit.py:68-87``).  Verified 8x8 Hilbert starts [0, 8, 9, 1, ...].
+    (``altvit.py:68-87``).  Verified 8x8 Hilbert starts [0, 1, 9, 8, ...]
+    (the notebook's transposed [0, 8, 9, 1, ...] convention is
+    :func:`flat_lut_2d`).
     """
     coords = curve_coords(curve, grid, grid)
     lut = coords[:, 0].astype(np.int64) * grid + coords[:, 1]
@@ -119,13 +122,7 @@ def pixel_lut(curve: CurveLike, height: int, width: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def onion_cells(rows: int, cols: int) -> np.ndarray:
-    """Spiral (row, col) walk starting bottom-left, [rows*cols, 2] int32.
-
-    Matches ``OnionEmbedding1D.onion_indices``
-    (``onion_embedding1D.py:35-53``): directions cycle right, up, left,
-    down over (row, col) indices, starting at (rows-1, 0).
-    """
+def _onion_cells_cached(rows: int, cols: int) -> np.ndarray:
     visited = np.zeros((rows, cols), dtype=bool)
     out = np.empty((rows * cols, 2), dtype=np.int32)
     dirs = ((0, 1), (-1, 0), (0, -1), (1, 0))  # right, up, left, down
@@ -139,12 +136,26 @@ def onion_cells(rows: int, cols: int) -> np.ndarray:
             d = (d + 1) % 4
             ni, nj = i + dirs[d][0], j + dirs[d][1]
         i, j = ni, nj
+    out.setflags(write=False)  # cached object: mutation must fail loudly
     return out
+
+
+def onion_cells(rows: int, cols: int) -> np.ndarray:
+    """Spiral (row, col) walk starting bottom-left, [rows*cols, 2] int32.
+
+    Matches ``OnionEmbedding1D.onion_indices``
+    (``onion_embedding1D.py:35-53``): directions cycle right, up, left,
+    down over (row, col) indices, starting at (rows-1, 0).
+
+    Returns a fresh writable copy; the lru-cached array is never exposed
+    (a caller mutating the returned array must not corrupt later LUTs).
+    """
+    return _onion_cells_cached(int(rows), int(cols)).copy()
 
 
 def onion_flat_lut(rows: int, cols: int) -> np.ndarray:
     """Flat spiral LUT: row * cols + col over the spiral walk, int32."""
-    cells = onion_cells(rows, cols)
+    cells = _onion_cells_cached(int(rows), int(cols))
     return (cells[:, 0].astype(np.int64) * cols + cells[:, 1]).astype(np.int32)
 
 

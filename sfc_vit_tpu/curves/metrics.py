@@ -33,6 +33,13 @@ def segment_stats(curve: Sequence[Tuple[int, int]], width: int, height: int) -> 
     scale = max(width - 1, height - 1) or 1
     pts = pts / scale
     seg = np.hypot(*np.diff(pts, axis=0).T)
+    if seg.size == 0:  # single-point curve (1x1 grid): no segments
+        return {
+            "total_length": 0.0,
+            "avg_segment_length": 0.0,
+            "max_segment_length": 0.0,
+            "std_segment_length": 0.0,
+        }
     return {
         "total_length": float(seg.sum()),
         "avg_segment_length": float(seg.mean()),

@@ -22,8 +22,10 @@ from .datasets import (
     load_tiny_imagenet,
     synthetic_dataset,
 )
+from .pipeline import prefetch_to_device
 
 __all__ = [
+    "prefetch_to_device",
     "color_jitter",
     "make_eval_transform",
     "make_train_augment",

@@ -60,21 +60,56 @@ def random_resized_crop(
     scale: Tuple[float, float] = (0.08, 1.0),
     ratio: Tuple[float, float] = (3 / 4, 4 / 3),
 ) -> jnp.ndarray:
-    """torchvision RandomResizedCrop semantics via affine sampling."""
+    """torchvision RandomResizedCrop semantics via affine sampling.
+
+    Matches torchvision's sampler shape-for-shape: 10 (area, ratio)
+    candidates drawn up front (vectorized -- the traced equivalent of
+    the retry loop), the FIRST one whose box fits is used, and if none
+    fits the fallback is the torchvision center crop clamped into the
+    ratio range.  Clipping width/height independently (the old
+    behavior) would emit aspect-distorted crops torchvision never
+    produces.  Box geometry stays continuous-valued (documented
+    divergence from torchvision's integer rounding; sub-pixel bilinear
+    sampling is the point of the traced design).
+    """
     h, w, _ = img.shape
+    y0, x0, ch, cw = _sample_crop_box(key, h, w, scale, ratio)
+    return _bilinear_crop(img, y0, x0, ch, cw, out_hw)
+
+
+def _sample_crop_box(
+    key, h: int, w: int,
+    scale: Tuple[float, float], ratio: Tuple[float, float],
+):
+    """(y0, x0, ch, cw) of the torchvision crop box (see above)."""
     k_area, k_ratio, k_y, k_x = jax.random.split(key, 4)
-    area = h * w * jax.random.uniform(
-        k_area, minval=scale[0], maxval=scale[1]
+    attempts = 10  # torchvision RandomResizedCrop.get_params
+    areas = h * w * jax.random.uniform(
+        k_area, (attempts,), minval=scale[0], maxval=scale[1]
     )
     log_r = jax.random.uniform(
-        k_ratio, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+        k_ratio, (attempts,),
+        minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]),
     )
     r = jnp.exp(log_r)
-    cw = jnp.clip(jnp.sqrt(area * r), 1.0, float(w))
-    ch = jnp.clip(jnp.sqrt(area / r), 1.0, float(h))
-    y0 = jax.random.uniform(k_y) * (h - ch)
-    x0 = jax.random.uniform(k_x) * (w - cw)
-    return _bilinear_crop(img, y0, x0, ch, cw, out_hw)
+    cws = jnp.sqrt(areas * r)
+    chs = jnp.sqrt(areas / r)
+    valid = (cws >= 1.0) & (cws <= w) & (chs >= 1.0) & (chs <= h)
+    first = jnp.argmax(valid)  # first fitting candidate
+    any_valid = valid.any()
+    # torchvision fallback: whole image, center-cropped into ratio range
+    in_r = w / h
+    fb_cw = jnp.where(in_r > ratio[1], h * ratio[1], float(w))
+    fb_ch = jnp.where(in_r < ratio[0], w / ratio[0], float(h))
+    cw = jnp.where(any_valid, cws[first], fb_cw)
+    ch = jnp.where(any_valid, chs[first], fb_ch)
+    y0 = jnp.where(
+        any_valid, jax.random.uniform(k_y) * (h - ch), (h - ch) / 2.0
+    )
+    x0 = jnp.where(
+        any_valid, jax.random.uniform(k_x) * (w - cw), (w - cw) / 2.0
+    )
+    return y0, x0, ch, cw
 
 
 def random_hflip(key, img: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:

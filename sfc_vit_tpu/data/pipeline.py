@@ -81,6 +81,20 @@ def prefetch_to_device(
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     err: list = []
+    stop = threading.Event()  # consumer gone (break / exception / close)
+
+    def _put(item) -> bool:
+        """Blocking put that gives up once the consumer has gone away
+        (otherwise an early ``break`` out of the epoch loop would leave
+        the stager thread pinned on a full queue forever, leaking the
+        thread plus ``size`` staged device batches per abandoned epoch)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         pool = None
@@ -95,20 +109,29 @@ def prefetch_to_device(
             else:
                 stream = batches
             for b in stream:
-                q.put(stage(b))
+                if stop.is_set() or not _put(stage(b)):
+                    return
         except Exception as e:  # surface pipeline errors to the consumer
             err.append(e)
         finally:
             if pool is not None:
                 pool.shutdown(wait=False, cancel_futures=True)
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a put in flight so the thread exits promptly
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

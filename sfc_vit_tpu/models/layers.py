@@ -320,9 +320,16 @@ class MixerBlock(nn.Module):
     """MLP-Mixer block, channel-mix branch only.
 
     Reference ``vit.py:250-273``: the token-mixing branch is commented
-    out, so the active computation is ``x + channel_mix(LN(x))``.  The
-    token-mix parameters are still created (as in the reference) but kept
-    optional here via ``with_token_mix_params``.
+    out, so the active computation is ``x + channel_mix(LN(x))``; the
+    reference's dead token-mix parameters are NOT created here (a torch
+    transplant maps only the channel_mix_* leaves, see
+    ``tests/test_model_parity.py``).
+
+    ``out_dim`` mirrors the reference's constructor arity (its arity
+    bug passed ``out_dim`` positionally into dropout); the residual
+    constrains it to ``embed_dim``, which is checked loudly -- the
+    reference would fail the same way, just with an opaque broadcast
+    error.
     """
 
     seq_len: int
@@ -334,6 +341,11 @@ class MixerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, N, D]
         out_dim = self.out_dim if self.out_dim is not None else self.embed_dim
+        if out_dim != self.embed_dim:
+            raise ValueError(
+                f"MixerBlock residual requires out_dim == embed_dim "
+                f"({out_dim} != {self.embed_dim})"
+            )
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="channel_mix_ln")(x)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="channel_mix_0")(h)
         h = nn.gelu(h, approximate=False)

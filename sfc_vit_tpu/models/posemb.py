@@ -61,15 +61,20 @@ def gfpe(
         pe  = [sin(arg) || cos(arg)]
     with N = sqrt(n) the grid side -- reference ``HilbertViT.__init__``
     (``altvit.py:236-251``), defaults T=4, h=3.0.
+
+    The reference always builds the table over the full N x N grid, so
+    ``N^2 == n`` identically and the first term's N^2/n factor is
+    exactly 1; we use ``n`` in its place, which is bit-identical there
+    and extends the formula to non-square position sets (grouped/1-D
+    tokenizers, where ``positions`` are each token's representative
+    curve flat index -- see :func:`build_posemb`).
     """
     assert dim % 2 == 0, "embedding dim must be even"
     pos = np.asarray(positions, dtype=np.float32)[:, None]  # (n, 1)
     n = pos.shape[0]
-    big_n = int(math.isqrt(n))
-    assert big_n * big_n == n, "GFPE positions must form a square grid"
     i_ar = np.arange(dim // 2, dtype=np.float32)[None, :]  # (1, d/2)
     two_pi = 2.0 * math.pi
-    scale = (2.0 * i_ar * big_n ** 2 * pos * two_pi) / (
+    scale = (2.0 * i_ar * n * pos * two_pi) / (
         temperature * n * dim
     )
     phase = h_param * (2.0 * i_ar * pos * two_pi) / dim
@@ -91,16 +96,43 @@ def build_posemb(
     """Build a positional table, or None for 'none'/'learned'.
 
     For 'gfpe', positions are the curve's flat LUT values over ``grid``
-    (identity raster positions when no curve is given).
+    (identity raster positions when no curve is given).  The table
+    always has exactly ``n_pos`` rows: when the curve LUT is finer than
+    the token sequence (grouped/1-D tokenizers, where ``grid`` is the
+    pre-grouping pixel/patch lattice, so the LUT has ``k * n_pos``
+    entries), each token takes its FIRST curve cell's flat index as its
+    representative position.
     """
     if kind in ("none", "learned"):
         return None
     if kind == "sincos1d":
         return sincos_1d(n_pos, dim)
     if kind == "gfpe":
+        if curve == "random":
+            raise ValueError(
+                "gfpe is undefined for curve='random' (the per-call "
+                "shuffle has no static curve order to encode)"
+            )
         if curve is not None and curve != "raster":
-            g = grid if grid is not None else int(math.isqrt(n_pos))
-            positions = flat_lut(curve, g).astype(np.float32)
+            if grid is None:
+                g = int(math.isqrt(n_pos))
+                if g * g != n_pos:
+                    raise ValueError(
+                        f"gfpe over curve {curve!r}: n_pos={n_pos} is not "
+                        "a perfect square and the tokenizer exposes no "
+                        "grid_size; pass grid= explicitly"
+                    )
+                grid = g
+            lut = flat_lut(curve, grid).astype(np.float32)
+            if lut.shape[0] != n_pos:
+                if lut.shape[0] % n_pos != 0:
+                    raise ValueError(
+                        f"gfpe over curve {curve!r}: grid {grid} gives "
+                        f"{lut.shape[0]} curve cells, not a multiple of "
+                        f"n_pos={n_pos}"
+                    )
+                lut = lut[:: lut.shape[0] // n_pos]  # token's first cell
+            positions = lut
         else:
             positions = np.arange(n_pos, dtype=np.float32)
         return gfpe(positions, dim, temperature=temperature, h_param=h_param)

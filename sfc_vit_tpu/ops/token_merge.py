@@ -30,6 +30,11 @@ def curve_pair_merge_topk(
     """
     b, n, d = x.shape
     assert n % 2 == 0, f"token count {n} must be even to pair-merge"
+    if not 0.0 <= merge_ratio <= 1.0:
+        raise ValueError(
+            f"merge_ratio must be in [0, 1], got {merge_ratio!r} "
+            "(>1 would silently drop unmerged tokens, <0 silently no-op)"
+        )
     p = n // 2
     k = int(p * merge_ratio)
     if k == 0:

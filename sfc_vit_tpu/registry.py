@@ -124,6 +124,28 @@ def build_tokenizer(cfg: ModelConfig, return_levels: bool = False):
 
 def build_model(cfg: ModelConfig):
     dtype = cfg.jax_dtype()
+    if cfg.model in ("simple", "curvevit"):
+        # these families build their own tokenizer inline, so run the
+        # same curve validation build_tokenizer would have
+        if cfg.curve not in CURVE_REGISTRY:
+            raise KeyError(
+                f"unknown curve {cfg.curve!r} for model {cfg.model!r}; "
+                f"available: {sorted(CURVE_REGISTRY)}"
+                + (" ('random' is 2d-tokenizer-only)"
+                   if cfg.curve == "random" else "")
+            )
+        if cfg.fused:
+            raise ValueError(
+                f"model {cfg.model!r} has no fused-tokenizer path; "
+                "drop fused=True (it would be silently ignored)"
+            )
+    if cfg.model in ("simple", "curvevit", "hier") and cfg.posemb != "none":
+        raise ValueError(
+            f"model {cfg.model!r} manages its own positional encoding "
+            f"(family B: built-in sincos/GFPE; 'hier': none by design) -- "
+            f"posemb={cfg.posemb!r} would be silently ignored; "
+            "use model 'vit'/'vit1d' for the posemb registry"
+        )
     if cfg.model == "simple":
         return SimpleViT(
             image_size=cfg.img_size, patch_size=cfg.patch_size,

@@ -230,6 +230,14 @@ class PixelCurveEmbedding1D(nn.Module):
     def n_pixels(self) -> int:
         return self.img_size * self.img_size
 
+    @property
+    def grid_size(self) -> int:
+        """The curve runs over the PIXEL lattice for this family (the
+        1-D patches are curve-consecutive pixel runs), so positional
+        tables index it; ``build_posemb`` subsamples the pixel LUT to
+        one representative (first) pixel per token."""
+        return self.img_size
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape

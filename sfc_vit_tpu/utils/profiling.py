@@ -20,10 +20,12 @@ __all__ = ["trace", "annotate", "attention_maps", "attention_rows"]
 
 
 @contextlib.contextmanager
-def trace(logdir: str, with_memory: bool = True):
+def trace(logdir: str):
     """Profile the enclosed block: ``with trace('/tmp/prof'): step(...)``.
 
-    View with TensorBoard or xprof pointed at ``logdir``.
+    View with TensorBoard or xprof pointed at ``logdir``.  (Memory
+    capture is always on in ``jax.profiler.start_trace`` -- there is no
+    toggle to expose.)
     """
     jax.profiler.start_trace(logdir, create_perfetto_link=False)
     try:
@@ -50,11 +52,6 @@ def attention_maps(
         variables, x, mutable=["intermediates"], **apply_kwargs
     )
     maps = {}
-
-    def collect(path, leaf):
-        key = "/".join(str(p) for p in path)
-        maps[key] = leaf
-
     flat = jax.tree_util.tree_flatten_with_path(
         state.get("intermediates", {})
     )[0]

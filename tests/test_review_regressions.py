@@ -231,3 +231,177 @@ def test_dryrun_subprocess_overrides_stale_device_count(monkeypatch):
     ge._dryrun_in_subprocess(8)
     assert "--xla_force_host_platform_device_count=8" in captured["flags"]
     assert "count=4" not in captured["flags"]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 review sweep #2 (curves / tokenizers / data / utils / posemb)
+# ---------------------------------------------------------------------------
+
+
+def test_gfpe_follows_token_count_not_isqrt():
+    """gfpe tables must have exactly n_pos rows for 1D/grouped
+    tokenizers (was: isqrt(n_pos) fallback -> 121 rows for 128 tokens,
+    broadcast crash at init)."""
+    from sfc_vit_tpu.curves import flat_lut
+    from sfc_vit_tpu.models import build_posemb, gfpe
+
+    # square path: bit-identical to the direct reference formula
+    want = gfpe(flat_lut("hilbert", 8).astype(np.float32), 32)
+    got = build_posemb("gfpe", 64, 32, curve="hilbert", grid=8)
+    np.testing.assert_array_equal(got, want)
+
+    # grouped: grid LUT finer than the token count -> first-cell
+    # representative positions, still n_pos rows
+    t = build_posemb("gfpe", 256, 64, curve="hilbert", grid=32)
+    assert t.shape == (256, 64)
+    lut = flat_lut("hilbert", 32).astype(np.float32)
+    np.testing.assert_array_equal(
+        t, gfpe(lut[::4], 64)
+    )
+
+    # non-square n_pos without a grid must raise, not mis-broadcast
+    with pytest.raises(ValueError, match="perfect square"):
+        build_posemb("gfpe", 128, 64, curve="hilbert", grid=None)
+
+
+def test_gfpe_1d_tokenizer_model_initializes():
+    """The CLI-reachable crash: 1D tokenizer (128 tokens from a 32px
+    grid) + posemb='gfpe' must init and run."""
+    cfg = ModelConfig(
+        model="vit", tokenizer="1d", curve="hilbert", img_size=32,
+        patch_size=8, embed_dim=64, depth=1, n_heads=2, mlp_dim=64,
+        posemb="gfpe", attn_impl="xla",
+    )
+    model = build_model(cfg)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, cfg.num_classes)
+
+
+def test_onion_cells_cache_immune_to_caller_mutation():
+    """onion_cells returns a copy; mutating it must not corrupt the
+    cached LUT that later models bake in as constants."""
+    from sfc_vit_tpu.curves import onion_cells
+
+    a = onion_cells(4, 4)
+    first = tuple(a[0])
+    a[0] = (99, 99)
+    b = onion_cells(4, 4)
+    assert tuple(b[0]) == first
+
+
+def test_block_stitch_onion_covers_rectangles():
+    """block_stitch over onion: odd dims crashed (onion_curve(0) divided
+    by a zero grid -- reference bug) and b>=8 blocks under-covered."""
+    from sfc_vit_tpu.curves import block_stitch_sfc
+    from sfc_vit_tpu.curves.generators import onion_curve
+
+    assert onion_curve(0) == []
+    for w, h in [(3, 3), (5, 7), (8, 8), (9, 6)]:
+        curve, blocked = block_stitch_sfc("onion", w, h)
+        assert sorted(curve) == sorted(
+            (x, y) for x in range(w) for y in range(h)
+        ), (w, h)
+        assert sum(len(b) for b in blocked) == len(curve)
+
+
+def test_prefetch_early_break_releases_stager_thread():
+    """Breaking out of a prefetch loop must stop the stager thread (was:
+    blocked on q.put forever, pinning staged device batches)."""
+    import threading
+    import time
+
+    from sfc_vit_tpu.data import prefetch_to_device
+
+    pulled = []
+
+    def source():
+        for i in range(1000):
+            pulled.append(i)
+            yield (np.zeros((2, 2), np.float32),)
+
+    before = set(threading.enumerate())
+    it = prefetch_to_device(source(), size=2)
+    next(it)
+    it.close()  # what an early `break` does on GC
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not (set(threading.enumerate()) - before):
+            break
+        time.sleep(0.05)
+    leaked = set(threading.enumerate()) - before
+    assert not leaked, leaked
+    assert len(pulled) < 1000  # source was not drained
+
+
+def test_crop_box_matches_torchvision_sampler():
+    """Crop boxes keep the sampled area/ratio joint distribution (was:
+    independent clipping produced shrunken, aspect-distorted boxes
+    torchvision never emits)."""
+    from sfc_vit_tpu.data.augment import _sample_crop_box
+
+    h = w = 32
+    scale, ratio = (0.9, 1.0), (3 / 4, 4 / 3)
+    for seed in range(200):
+        y0, x0, ch, cw = map(
+            float,
+            _sample_crop_box(jax.random.PRNGKey(seed), h, w, scale, ratio),
+        )
+        assert 0.0 <= y0 and y0 + ch <= h + 1e-4
+        assert 0.0 <= x0 and x0 + cw <= w + 1e-4
+        r = cw / ch
+        assert ratio[0] - 1e-4 <= r <= ratio[1] + 1e-4
+        # a clipped box loses area below the sampled floor
+        assert cw * ch >= scale[0] * h * w * (1 - 1e-5)
+
+
+def test_registry_rejects_silently_ignored_flags():
+    """posemb/fused on families that would ignore them must raise (was:
+    --model hier --posemb gfpe trained with no positional encoding)."""
+    for model in ("simple", "curvevit", "hier"):
+        with pytest.raises(ValueError, match="posemb"):
+            build_model(ModelConfig(model=model, posemb="gfpe"))
+    with pytest.raises(ValueError, match="fused"):
+        build_model(ModelConfig(model="curvevit", fused=True))
+    # curve validation now runs for the inline-tokenizer families too
+    with pytest.raises(KeyError, match="nosuch"):
+        build_model(ModelConfig(model="curvevit", curve="nosuch"))
+    with pytest.raises(KeyError, match="random"):
+        build_model(ModelConfig(model="simple", curve="random"))
+
+
+def test_gfpe_rejects_random_curve():
+    from sfc_vit_tpu.models import build_posemb
+
+    with pytest.raises(ValueError, match="random"):
+        build_posemb("gfpe", 64, 32, curve="random", grid=8)
+
+
+def test_token_merge_ratio_validated():
+    from sfc_vit_tpu.ops.token_merge import curve_pair_merge_topk
+
+    x = jnp.ones((1, 8, 4), jnp.float32)
+    for bad in (1.5, -0.25):
+        with pytest.raises(ValueError, match="merge_ratio"):
+            curve_pair_merge_topk(x, merge_ratio=bad)
+
+
+def test_mixer_block_out_dim_trap_raises():
+    from sfc_vit_tpu.models.layers import MixerBlock
+
+    blk = MixerBlock(seq_len=8, embed_dim=16, hidden_dim=32, out_dim=8)
+    with pytest.raises(ValueError, match="out_dim == embed_dim"):
+        blk.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)))
+
+
+def test_segment_stats_single_point_curve():
+    from sfc_vit_tpu.curves.metrics import segment_stats
+
+    stats = segment_stats([(0, 0)], 1, 1)
+    assert stats == {
+        "total_length": 0.0,
+        "avg_segment_length": 0.0,
+        "max_segment_length": 0.0,
+        "std_segment_length": 0.0,
+    }
