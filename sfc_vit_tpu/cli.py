@@ -153,6 +153,14 @@ def main(argv=None) -> dict:
 
         enable_compile_cache(args.compile_cache)
 
+    # Multi-host: join the jax.distributed cluster BEFORE any jax use
+    # (no-op outside a cluster — fires only on the JAX_COORDINATOR_ADDRESS
+    # auto-detect env).  Without this a 2-host CLI launch would silently
+    # run as 2 independent single-process trainings racing on --workdir.
+    from .parallel import init_distributed
+
+    init_distributed()
+
     from .data import epoch_batches, make_eval_transform, make_train_augment
     from .registry import ModelConfig, build_model
     from .training import TrainConfig, Trainer
@@ -214,7 +222,9 @@ def main(argv=None) -> dict:
 
     if args.eval_only:
         assert trainer.checkpointer is not None, "--eval-only needs --workdir"
-        trainer.state = trainer.checkpointer.restore_best(trainer.state)
+        # layout-aware: converts a best checkpoint saved under a
+        # different --pipeline-parallel setting (like maybe_resume)
+        trainer.restore_best()
         result = trainer.evaluate(eval_data())
         print(
             f"eval: step={int(trainer.state.step)} "

@@ -399,7 +399,13 @@ class PreNormTransformer(nn.Module):
 
 class SimpleViT(nn.Module):
     """Raster baseline: patchify -> LN/Linear/LN -> +sincos1d -> pre-norm
-    transformer -> mean pool -> linear head (``altvit.py:163-205``)."""
+    transformer -> mean pool -> linear head (``altvit.py:163-205``).
+
+    NOTE: the embed (everything before the transformer) and head (final
+    norm + pool + linear) are mirrored by ``parallel.pipeline_model.
+    _embed`` / ``_head`` for the pipeline-parallel path — change them in
+    BOTH places (drift is caught by tests/test_parallel.py's pipelined-
+    vs-sequential parity, but only for the configurations it runs)."""
 
     image_size: int
     patch_size: int
@@ -440,6 +446,9 @@ class CurveViT(nn.Module):
 
     Reference ``HilbertViT`` (``altvit.py:208-268``, GFPE hyperparams
     T=4, h=3.0), generalized over curves.
+
+    NOTE: embed/head are mirrored by ``parallel.pipeline_model`` — see
+    the SimpleViT docstring.
     """
 
     image_size: int

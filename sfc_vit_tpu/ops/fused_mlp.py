@@ -351,8 +351,12 @@ def fused_mlp_bwd_fits(
 def _fused_mlp_bwd(
     x, g, ln_scale, ln_bias, w1, b1, w2,
     eps: float, activation: str, residual: bool,
-    block_r: int = 256, interpret: bool = False, z=None,
+    block_r: int = 256, interpret: bool = False, z=None, b2=None,
 ):
+    # b2 is numerically unused (db2 = colsum(g)); it is threaded through
+    # only so the cotangent keeps b2's OWN dtype (casting to w2.dtype
+    # breaks custom_vjp's aval check for callers with, say, bf16 weights
+    # and fp32 biases). None falls back to w2's dtype (legacy probes).
     b, n, d = x.shape
     f = w1.shape[1]
     r = b * n
@@ -422,7 +426,7 @@ def _fused_mlp_bwd(
         dx[:r].reshape(b, n, d),
         cast(dls, ln_scale), cast(dlb, ln_bias),
         cast(dw1, w1), cast(db1, b1),
-        cast(dw2, w2), cast(db2, w2[0]),
+        cast(dw2, w2), cast(db2, b2 if b2 is not None else w2[0]),
     )
 
 
@@ -505,7 +509,7 @@ def _fm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
             eps=eps, activation=activation, residual=residual,
             interpret=interpret, save_z=True,
         )
-        return out, (x, ln_scale, ln_bias, w1, b1, w2, z)
+        return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, z)
     out, vjp = jax.vjp(
         lambda *a: mlp_block_xla(
             *a, eps=eps, activation=activation, residual=residual
@@ -518,11 +522,11 @@ def _fm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
 def _fm_bwd(eps, activation, residual, interpret, train_impl, res, g):
     if callable(res):  # XLA rule: res is the jax.vjp closure
         return res(g)
-    x, ln_scale, ln_bias, w1, b1, w2, z = res
+    x, ln_scale, ln_bias, w1, b1, w2, b2, z = res
     dx, dls, dlb, dw1, db1, dw2, db2 = _fused_mlp_bwd(
         x, g, ln_scale, ln_bias, w1, b1, w2,
         eps=eps, activation=activation, residual=residual,
-        interpret=interpret, z=z,
+        interpret=interpret, z=z, b2=b2,
     )
     return dx, dls, dlb, dw1, db1, dw2, db2
 
@@ -756,8 +760,9 @@ def _postnorm_tail_bwd_kernel(
 def _postnorm_tail_bwd(
     x, attn_out, g, z, s2, ln1_s, ln1_b, w1, b1, w2, ln2_s, ln2_b,
     eps: float, activation: str,
-    block_r: int = 256, interpret: bool = False,
+    block_r: int = 256, interpret: bool = False, b2=None,
 ):
+    # b2: dtype carrier only for the db2 cotangent (see _fused_mlp_bwd)
     b, n, d = x.shape
     f = w1.shape[1]
     r = b * n
@@ -824,7 +829,7 @@ def _postnorm_tail_bwd(
         dsum, dsum,
         cast(dls1, ln1_s), cast(dlb1, ln1_b),
         cast(dw1, w1), cast(db1, b1),
-        cast(dw2, w2), cast(db2, w2[0]),
+        cast(dw2, w2), cast(db2, b2 if b2 is not None else w2[0]),
         cast(dls2, ln2_s), cast(dlb2, ln2_b),
     )
 
@@ -941,7 +946,7 @@ def _pt_fwd(x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
             eps=eps, activation=activation, interpret=interpret,
             save_acts=True,
         )
-        return out, (x, attn_out, ln1_s, ln1_b, w1, b1, w2,
+        return out, (x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2,
                      ln2_s, ln2_b, z, s2)
     out, vjp = jax.vjp(
         lambda *a: postnorm_tail_xla(
@@ -955,10 +960,11 @@ def _pt_fwd(x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
 def _pt_bwd(eps, activation, interpret, train_impl, res, g):
     if callable(res):  # XLA rule
         return res(g)
-    (x, attn_out, ln1_s, ln1_b, w1, b1, w2, ln2_s, ln2_b, z, s2) = res
+    (x, attn_out, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+     z, s2) = res
     return _postnorm_tail_bwd(
         x, attn_out, g, z, s2, ln1_s, ln1_b, w1, b1, w2, ln2_s, ln2_b,
-        eps=eps, activation=activation, interpret=interpret,
+        eps=eps, activation=activation, interpret=interpret, b2=b2,
     )
 
 

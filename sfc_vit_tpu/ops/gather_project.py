@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_utils import round_up
+
 __all__ = ["gather_project", "gather_project_xla"]
 
 
@@ -76,10 +78,6 @@ def _kernel(lut_ref, x_ref, w_ref, b_ref, o_ref, *, group: int, k: int):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def gather_project(
     x: jnp.ndarray,
@@ -114,7 +112,7 @@ def gather_project(
         return gather_project_xla(x, lut, w, b, group)
     if block_n is None:
         m = lut.shape[0] // group
-        block_n = _round_up(m, 8) if m <= 512 else 128
+        block_n = round_up(m, 8) if m <= 512 else 128
     return _fwd_impl(x, lut, w, b, block_n, interpret, group)
 
 
@@ -123,8 +121,8 @@ def _fwd_impl(x, lut, w, b, block_n, interpret, group=1):
     m = lut.shape[0] // group  # output tokens
     d = w.shape[1]
     bias = jnp.zeros((1, d), w.dtype) if b is None else b.reshape(1, d)
-    block_n = min(block_n, _round_up(m, 8))
-    m_pad = _round_up(m, block_n)
+    block_n = min(block_n, round_up(m, 8))
+    m_pad = round_up(m, block_n)
     # Host-side re-layout: slot-major (group, M_pad, 1) so the kernel
     # reads each slot's indices as an aligned (block_n, 1) VMEM vector.
     lut_padded = jnp.pad(lut.astype(jnp.int32), (0, (m_pad - m) * group))

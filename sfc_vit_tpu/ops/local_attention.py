@@ -387,25 +387,28 @@ def _la_fwd(q, k, v, block, halo, scale, interpret):
     s = q.shape[-1] ** -0.5 if scale is None else scale
     n_blocks = _round_up(q.shape[1], block) // block
     if n_blocks <= halo + 1:
-        out = local_block_attention(q, k, v, block, halo, scale, interpret)
-        return out, (q, k, v, None, None)
+        # dense-fallback window (mask is all-ones, see primal): save
+        # flash's own vjp closure so the backward reuses its residuals
+        # instead of re-running a full dense forward at grad time
+        from .flash_attention import flash_attention
+
+        out, vjp = jax.vjp(
+            lambda a, b, c: flash_attention(
+                a, b, c, scale=s, interpret=interpret
+            ),
+            q, k, v,
+        )
+        return out, vjp
     out, lse = _local_fwd(q, k, v, block, halo, s, return_lse=True,
                           interpret=interpret)
     return out, (q, k, v, out, lse)
 
 
 def _la_bwd(block, halo, scale, interpret, res, g):
+    if callable(res):  # dense-fallback: flash vjp closure
+        return res(g)
     q, k, v, out, lse = res
     s = q.shape[-1] ** -0.5 if scale is None else scale
-    if lse is None:
-        # dense-fallback window: the dense-mask formula is exact
-        _, vjp = jax.vjp(
-            lambda a, b, c: local_block_attention_xla(
-                a, b, c, block, halo, s
-            ),
-            q, k, v,
-        )
-        return vjp(g)
     return _local_bwd(q, k, v, out, g, lse, block, halo, s,
                       interpret=interpret)
 

@@ -253,11 +253,21 @@ def make_pipelined_apply(
                 tokens, ((0, b_pad - b), (0, 0), (0, 0))
             )
         mb = b_pad // microbatches
-        xs = tokens.reshape(microbatches, mb, n, d)
+        # STRIDED microbatch split (microbatch m = rows m::M): every
+        # microbatch takes an equal slice of each device's contiguous
+        # row block under the 'data' sharding, so the reshape/transpose
+        # are device-local.  A contiguous reshape(M, mb, ...) would put
+        # whole microbatches on single devices and force GSPMD to
+        # all-to-all the full activation into P(None, 'data') every
+        # step (same reasoning as the grad-accum split in
+        # training/steps.py).  Per-row compute is batch-independent, so
+        # regrouping changes no row's logits.
+        xs = tokens.reshape(mb, microbatches, n, d).transpose(1, 0, 2, 3)
         ys = pipeline_apply(
             mesh, stage_fn, stages, xs, axis=axis, batch_axis=bshard,
         )
-        return _head(model, outer, ys.reshape(b_pad, n, d))[:b]
+        out = ys.transpose(1, 0, 2, 3).reshape(b_pad, n, d)
+        return _head(model, outer, out)[:b]
 
     return apply_fn
 

@@ -404,8 +404,21 @@ def intercept_dense(qtable, out_dtype=None):
             return next_fun(*args, **kwargs)
         entry = qtable[mod.path]
         if type(mod) is nn.Dense:
-            x = args[0]
-            dt = out_dtype or mod.dtype or x.dtype
+            x = args[0] if args else kwargs["inputs"]
+            if out_dtype is not None:
+                dt = out_dtype
+            elif mod.dtype is not None:
+                dt = mod.dtype
+            else:
+                # flax dtype=None rule: promote(inputs, kernel[, bias]).
+                # The entry carries the ORIGINAL kernel dtype as 'wdt';
+                # using x.dtype here would flip e.g. a bf16-in/fp32-param
+                # Dense to bf16 out and change every downstream dtype.
+                wdt = entry["wdt"].dtype if "wdt" in entry else jnp.float32
+                parts = [x.dtype, wdt]
+                if mod.use_bias and entry.get("bias") is not None:
+                    parts.append(entry["bias"].dtype)
+                dt = jnp.result_type(*parts)
             return int8_dense(
                 x, entry["w"], entry["scale"], entry["bias"], dt,
                 x_scale=entry.get("x_scale"),

@@ -17,9 +17,11 @@ to the accuracy peak.)
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 from typing import Any, Dict, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 __all__ = ["Checkpointer"]
@@ -58,6 +60,7 @@ class Checkpointer:
                 best_mode="max",
                 create=True,
             ),
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     def save(
@@ -67,18 +70,31 @@ class Checkpointer:
         saved = self._latest.save(
             step, args=ocp.args.StandardSave(state), metrics=metrics
         )
-        self._best.save(
-            step, args=ocp.args.StandardSave(state), metrics=metrics
-        )
+        # Write to the best/ manager only on improvement: an
+        # unconditional save would serialize the whole TrainState a
+        # second time every epoch just for best_fn's GC to delete it.
+        # The decision is replica-consistent (metrics are replicated,
+        # the sidecar lives on the shared workdir and only changes on
+        # improvement), so multi-host Orbax collectives stay aligned.
         if self.metric_name in metrics:
             prev = self.best_metric()
             if prev is None or metrics[self.metric_name] > prev:
-                self._best_metric_path().write_text(
-                    json.dumps({
-                        "step": int(step),
-                        self.metric_name: metrics[self.metric_name],
-                    })
+                self._best.save(
+                    step, args=ocp.args.StandardSave(state), metrics=metrics
                 )
+                if jax.process_index() == 0:
+                    # atomic replace: torn/interleaved writes would make
+                    # best_metric() silently reset best tracking to 0
+                    tmp = self._best_metric_path().with_suffix(
+                        f".tmp.{os.getpid()}"
+                    )
+                    tmp.write_text(
+                        json.dumps({
+                            "step": int(step),
+                            self.metric_name: metrics[self.metric_name],
+                        })
+                    )
+                    os.replace(tmp, self._best_metric_path())
         return bool(saved)
 
     def _best_metric_path(self) -> pathlib.Path:
@@ -113,15 +129,23 @@ class Checkpointer:
             step, args=ocp.args.StandardRestore(state_template)
         )
 
-    def params_metadata(self, step: Optional[int] = None) -> Any:
+    def params_metadata(
+        self, step: Optional[int] = None, which: str = "latest"
+    ) -> Any:
         """Saved ``params`` subtree metadata (nested dicts of orbax
         ArrayMetadata, each with ``.shape``) for layout inspection
         before restore — e.g. detecting a pipelined checkpoint's
-        ``stages`` layout from a sequential run."""
-        step = self._latest.latest_step() if step is None else step
+        ``stages`` layout from a sequential run.  ``which`` selects the
+        manager: 'latest' (resume) or 'best' (--eval-only)."""
+        mgr = self._best if which == "best" else self._latest
+        if step is None:
+            step = (
+                self._best.best_step() if which == "best"
+                else self._latest.latest_step()
+            )
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return self._latest.item_metadata(step).tree["params"]
+        return mgr.item_metadata(step).tree["params"]
 
     def latest_step(self) -> Optional[int]:
         return self._latest.latest_step()

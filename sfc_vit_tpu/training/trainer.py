@@ -168,11 +168,14 @@ class Trainer:
             )
 
             s = config.pipeline_parallel
-            pp_params = split_pipeline_params(
-                self.state.params, model.depth, s
-            )
+            # build the apply first: make_pipelined_apply validates the
+            # model family/geometry with explanatory errors, where
+            # split_pipeline_params would die on a raw KeyError
             apply_fn = make_pipelined_apply(
                 model, self.mesh, s, config.pipeline_microbatches
+            )
+            pp_params = split_pipeline_params(
+                self.state.params, model.depth, s
             )
             self.state = TrainState.create(
                 apply_fn=apply_fn, params=pp_params, tx=tx
@@ -182,6 +185,15 @@ class Trainer:
             from ..parallel.mesh import apply_fsdp_sharding
 
             state_sh = apply_fsdp_sharding(self.mesh, self.state)
+        elif config.model_parallel > 1 and not config.sequence_parallel:
+            # Tensor parallelism: shard params + Adam mirrors over the
+            # 'model' axis via the shape rule (without this the model
+            # axis would do fully redundant replicated compute).  Under
+            # sequence_parallel the 'model' axis shards the TOKEN axis
+            # instead, so params stay replicated there.
+            from ..parallel.mesh import apply_param_sharding
+
+            state_sh = apply_param_sharding(self.mesh, self.state)
         else:
             state_sh = jax.tree_util.tree_map(
                 lambda _: rep, self.state
@@ -241,13 +253,21 @@ class Trainer:
         self.start_epoch = int(self.state.step) // self.steps_per_epoch
         return True
 
-    def _restore_template(self):
-        """(template, convert) for the latest checkpoint: identity when
-        the saved param layout matches this run's; otherwise the other
-        layout's template plus the lossless conversion back."""
+    def restore_best(self) -> None:
+        """Restore the best checkpoint (the --eval-only path), with the
+        same layout conversion ``maybe_resume`` applies — a sequential
+        best checkpoint loads into a pipelined run and vice versa."""
+        assert self.checkpointer is not None, "restore_best needs a workdir"
+        template, convert = self._restore_template(which="best")
+        self.state = convert(self.checkpointer.restore_best(template))
+
+    def _restore_template(self, which: str = "latest"):
+        """(template, convert) for the latest/best checkpoint: identity
+        when the saved param layout matches this run's; otherwise the
+        other layout's template plus the lossless conversion back."""
         ident = (self.state, lambda s: s)
         try:
-            md = self.checkpointer.params_metadata()
+            md = self.checkpointer.params_metadata(which=which)
         except Exception:
             return ident  # metadata unavailable: assume same layout
         saved_pp = isinstance(md, dict) and "stages" in md

@@ -405,3 +405,223 @@ def test_segment_stats_single_point_curve():
         "max_segment_length": 0.0,
         "std_segment_length": 0.0,
     }
+
+
+def test_int8_dense_keeps_flax_promotion_dtype():
+    """Quantized serving must preserve nn.Dense(dtype=None)'s promotion
+    rule (was: bf16 input to an fp32-param Dense came back bf16,
+    changing every downstream dtype vs the unquantized model)."""
+    import flax.linen as nn
+
+    from sfc_vit_tpu.quant.int8 import quantize_dense_params, quantized_apply
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(8, name="d")(x)
+
+    m = M()
+    x = jnp.ones((2, 4), jnp.bfloat16)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(variables, x)
+    assert ref.dtype == jnp.float32  # stock flax promotion
+    qtable = quantize_dense_params(variables, paths=[("d",)])
+    out = quantized_apply(m, variables, qtable, x)
+    assert out.dtype == ref.dtype
+
+
+def test_int8_dense_keyword_invocation():
+    """nn.Dense called as (inputs=x) must quantize, not IndexError."""
+    import flax.linen as nn
+
+    from sfc_vit_tpu.quant.int8 import quantize_dense_params, quantized_apply
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(8, name="d")(inputs=x)
+
+    m = M()
+    x = jnp.ones((2, 4), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    qtable = quantize_dense_params(variables, paths=[("d",)])
+    out = quantized_apply(m, variables, qtable, x)
+    assert out.shape == (2, 8)
+
+
+def test_fused_mlp_grad_mixed_bias_dtype():
+    """b2's cotangent keeps b2's own dtype (was: cast to w2.dtype, an
+    aval mismatch for bf16-weight / fp32-bias callers)."""
+    from sfc_vit_tpu.ops.fused_mlp import fused_mlp_block
+
+    d, f = 128, 256
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, d)), jnp.bfloat16)
+    ls = jnp.ones((d,), jnp.float32)
+    lb = jnp.zeros((d,), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.05, jnp.bfloat16)
+    b1 = jnp.zeros((f,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.05, jnp.bfloat16)
+    b2 = jnp.zeros((d,), jnp.float32)
+
+    def loss(b2_):
+        out = fused_mlp_block(
+            x, ls, lb, w1, b1, w2, b2_,
+            interpret=True, train_impl="pallas",
+        )
+        return jnp.sum(out.astype(jnp.float32))
+
+    g = jax.grad(loss)(b2)
+    assert g.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(g), np.full((d,), 8.0), rtol=1e-2
+    )
+
+
+def test_local_attention_fallback_grad_single_forward_parity():
+    """Dense-window fallback (n_blocks <= halo+1) gradients match the
+    dense-mask XLA formula (the backward now reuses flash's residuals
+    instead of re-running a dense forward)."""
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 16, 1, 32)), jnp.float32)
+        for _ in range(3)
+    )
+
+    def f_kernel(q, k, v):
+        return jnp.sum(
+            local_block_attention(q, k, v, block=8, halo=2, interpret=True)
+            ** 2
+        )
+
+    def f_xla(q, k, v):
+        return jnp.sum(
+            local_block_attention_xla(q, k, v, block=8, halo=2) ** 2
+        )
+
+    g1 = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_trainer_applies_tensor_parallel_sharding():
+    """--model-parallel without fsdp must shard params over 'model'
+    (was: whole TrainState replicated, the model axis did fully
+    redundant compute); losses must match the replicated trainer."""
+    from sfc_vit_tpu.models import CurveViT
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    def make(mp):
+        model = CurveViT(
+            curve="hilbert", image_size=16, patch_size=4, num_classes=4,
+            dim=64, depth=2, heads=2, mlp_dim=128, dim_head=32,
+        )
+        cfg = TrainConfig(
+            num_classes=4, epochs=1, warmup_epochs=0, use_mixing=False,
+            data_parallel=8 // mp, model_parallel=mp,
+        )
+        return Trainer(
+            model, cfg, steps_per_epoch=2,
+            sample_input=np.zeros((2, 16, 16, 3), np.float32),
+        )
+
+    tr = make(2)
+    specs = {
+        str(sh.spec)
+        for sh in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda l: l.sharding, tr.state.params
+            )
+        )
+    }
+    assert any("model" in s for s in specs), specs
+
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    ys = (np.arange(8) % 4).astype(np.int32)
+    batches = lambda: iter([(xs, ys)])
+    rec_tp = tr.train_epoch(batches())
+    rec_rep = make(1).train_epoch(batches())
+    np.testing.assert_allclose(
+        rec_tp["train_loss"], rec_rep["train_loss"], rtol=1e-5
+    )
+
+
+def test_trainer_pipeline_rejects_unsupported_model_loudly():
+    """Unsupported model + --pipeline-parallel raises the explanatory
+    TypeError (was: raw KeyError from the param split)."""
+    from sfc_vit_tpu.registry import preset_config
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    model = build_model(preset_config("flagship", depth=4))
+    cfg = TrainConfig(
+        num_classes=10, epochs=1, use_mixing=False,
+        data_parallel=2, pipeline_parallel=4,
+    )
+    with pytest.raises(TypeError, match="pre-norm ViT families"):
+        Trainer(
+            model, cfg, steps_per_epoch=1,
+            sample_input=np.zeros((2, 32, 32, 3), np.float32),
+        )
+
+
+def test_eval_only_restores_best_across_pipeline_layouts(tmp_path):
+    """restore_best converts checkpoint layouts like maybe_resume (was:
+    --eval-only after a --pipeline-parallel run raised a tree
+    mismatch)."""
+    from sfc_vit_tpu.models import CurveViT
+    from sfc_vit_tpu.training import TrainConfig, Trainer
+
+    model = CurveViT(
+        curve="hilbert", image_size=16, patch_size=4, num_classes=4,
+        dim=32, depth=4, heads=2, mlp_dim=64, dim_head=16,
+    )
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    ys = (np.arange(8) % 4).astype(np.int32)
+    common = dict(
+        num_classes=4, epochs=1, warmup_epochs=0, use_mixing=False,
+        workdir=str(tmp_path),
+    )
+    tr_pp = Trainer(
+        model,
+        TrainConfig(data_parallel=2, pipeline_parallel=4,
+                    pipeline_microbatches=2, **common),
+        steps_per_epoch=1,
+        sample_input=np.zeros((2, 16, 16, 3), np.float32),
+    )
+    rec = tr_pp.fit(
+        lambda: iter([(xs, ys)]), lambda: iter([(xs, ys)]), epochs=1
+    )
+    tr_seq = Trainer(
+        model, TrainConfig(data_parallel=8, **common), steps_per_epoch=1,
+        sample_input=np.zeros((2, 16, 16, 3), np.float32),
+    )
+    tr_seq.restore_best()  # was: Orbax tree-structure mismatch
+    out = tr_seq.evaluate(iter([(xs, ys)]))
+    np.testing.assert_allclose(
+        out["test_accuracy"], rec["test_accuracy"], rtol=1e-6
+    )
+
+
+def test_best_checkpoint_saved_only_on_improvement(tmp_path):
+    """Non-improving epochs must not rewrite the best/ checkpoint."""
+    from sfc_vit_tpu.training.checkpoint import Checkpointer
+
+    state = {"w": jnp.ones((4,))}
+    ck = Checkpointer(str(tmp_path), keep=2)
+    ck.save(1, state, {"test_accuracy": 0.5})
+    ck.wait()
+    assert ck.best_step() == 1
+    ck.save(2, state, {"test_accuracy": 0.4})  # worse: best/ untouched
+    ck.wait()
+    assert ck.best_step() == 1
+    assert ck.best_metric() == 0.5
+    ck.save(3, state, {"test_accuracy": 0.6})
+    ck.wait()
+    assert ck.best_step() == 3
+    assert ck.best_metric() == 0.6
+    ck.close()
