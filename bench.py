@@ -37,13 +37,24 @@ def _build(curve: str, quick: bool, attn_impl: str, dtype):
     return CurveViT(curve=curve, dtype=dtype, attn_impl=attn_impl, **kw)
 
 
-def _throughput(model, params, x, iters: int, apply_fn=None) -> float:
+def _throughput(
+    model, params, x, iters: int, apply_fn=None, unroll: int = 4,
+    seq_ctx=None,
+) -> float:
     """Device-side timing: the iteration loop runs as one jitted
     ``lax.scan`` (a single dispatch), with each iteration's input
     perturbed by the previous output so the compiler cannot hoist the
-    loop-invariant forward out of the scan.  Ends in a real host
-    readback -- robust against async-dispatch runtimes where
-    block_until_ready means only "handle exists"."""
+    loop-invariant forward out of the scan.  ``unroll`` model
+    applications run per scan iteration (chained through the same
+    perturbation so none is CSE'd away): a K=1 carry-chained scan adds
+    ~2.7 ms of per-iteration carry/boundary overhead on this stack and
+    understates ABSOLUTE throughput (CLAUDE.md instrument calibration;
+    relative numbers like vs_baseline were never affected).  ``iters``
+    counts total model applications.  Ends in a real host readback --
+    robust against async-dispatch runtimes where block_until_ready
+    means only "handle exists"."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     import numpy as _np
@@ -53,26 +64,42 @@ def _throughput(model, params, x, iters: int, apply_fn=None) -> float:
         def apply_fn(p, v):
             return model.apply({"params": p}, v)
 
+    length = max(1, iters // unroll)
+    total = length * unroll
+    if seq_ctx is None:
+        seq_ctx = contextlib.nullcontext
+
     @jax.jit
     def run(p, v):
         def body(carry, _):
-            out = apply_fn(p, v + carry * 1e-24)
-            return out.mean().astype(v.dtype), None
+            c = carry
+            for _k in range(unroll):
+                out = apply_fn(p, v + c * 1e-24)
+                c = out.mean().astype(v.dtype)
+            return c, None
 
-        c, _ = lax.scan(body, jnp.zeros((), v.dtype), None, length=iters)
+        c, _ = lax.scan(body, jnp.zeros((), v.dtype), None, length=length)
         return c
 
-    _np.asarray(jax.device_get(run(params, x)))  # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _np.asarray(jax.device_get(run(params, x)))
-        times.append(time.perf_counter() - t0)
-    return x.shape[0] * iters / min(times)
+    with seq_ctx():  # tracing-time switch (ring/sp attention)
+        _np.asarray(jax.device_get(run(params, x)))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _np.asarray(jax.device_get(run(params, x)))
+            times.append(time.perf_counter() - t0)
+    return x.shape[0] * total / min(times)
 
 
-def _train_throughput(curve, args, x, dtype, jax) -> float:
-    """Full training-step throughput (fwd+bwd+AdamW+mixing) via lax.scan."""
+def _train_throughput(curve, args, x, dtype, jax, seq_ctx=None) -> float:
+    """Full training-step throughput (fwd+bwd+AdamW+mixing) via lax.scan.
+
+    ``args.unroll`` train steps run per scan iteration (genuine state
+    dependency chains them), amortizing the scan-boundary carry copies
+    of the whole TrainState — same instrument correction as
+    :func:`_throughput`."""
+    import contextlib
+
     import jax.numpy as jnp
     import numpy as _np
     from jax import lax
@@ -94,35 +121,48 @@ def _train_throughput(curve, args, x, dtype, jax) -> float:
     step = make_train_step(num_classes=classes, schedule=sched)
     y = jnp.zeros((x.shape[0],), jnp.int32)
     xf = x.astype(jnp.float32)
-    iters = args.iters
+    unroll = args.unroll
+    length = max(1, args.iters // unroll)
+    total = length * unroll
+    if seq_ctx is None:
+        seq_ctx = contextlib.nullcontext
 
     @jax.jit
     def run(state, xf, y, key):
         def body(carry, i):
             st, _ = carry
-            st, metrics = step(st, (xf, y), jax.random.fold_in(key, i))
+            for k in range(unroll):
+                st, metrics = step(
+                    st, (xf, y), jax.random.fold_in(key, i * unroll + k)
+                )
             return (st, metrics["loss"]), None
 
         (st, loss), _ = lax.scan(
-            body, (state, jnp.float32(0)), jnp.arange(iters)
+            body, (state, jnp.float32(0)), jnp.arange(length)
         )
         return loss
 
     key = jax.random.key(1)
-    _np.asarray(jax.device_get(run(state, xf, y, key)))  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _np.asarray(jax.device_get(run(state, xf, y, key)))
-        times.append(time.perf_counter() - t0)
-    return x.shape[0] * iters / min(times)
+    with seq_ctx():
+        _np.asarray(jax.device_get(run(state, xf, y, key)))  # compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _np.asarray(jax.device_get(run(state, xf, y, key)))
+            times.append(time.perf_counter() - t0)
+    return x.shape[0] * total / min(times)
 
 
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=20,
+                   help="total model applications (steps) per timed run")
+    p.add_argument("--unroll", type=int, default=4,
+                   help="applications per scan iteration (K=1 scans "
+                        "carry ~2.7 ms/iter of overhead — CLAUDE.md; "
+                        "set 1 to reproduce the round-2/3 instrument)")
     p.add_argument("--curve", default="hilbert")
     p.add_argument("--attn-impl", default="auto",
                    choices=["auto", "xla", "xla_bf16", "pallas", "local", "ring", "sp"])
@@ -157,13 +197,27 @@ def main(argv=None) -> dict:
         dtype=dtype or jnp.float32,
     )
 
+    seq_ctx = None
+    if args.attn_impl in ("ring", "sp"):
+        # ring/sp are tracing-time switches: without an ambient
+        # sequence_sharding context they silently fall back to local XLA
+        # attention and the printed attn= label would be a lie.
+        from sfc_vit_tpu.parallel import make_mesh, sequence_sharding
+
+        mesh = make_mesh(data=1, model=len(jax.devices()), pipe=1)
+        seq_ctx = lambda: sequence_sharding(mesh, axis="model")
+        print(
+            f"# sequence sharding over model={len(jax.devices())} "
+            "for ring/sp", file=sys.stderr,
+        )
+
     results = {}
     # dict.fromkeys dedups --curve raster (benching raster twice costs a
     # second 5-20 min remote compile and reports a meaningless 1.0)
     for curve in dict.fromkeys(("raster", args.curve)):
         if args.train:
             results[curve] = _train_throughput(
-                curve, args, x, dtype, jax
+                curve, args, x, dtype, jax, seq_ctx=seq_ctx
             )
             print(
                 f"# {curve:8s} {results[curve]:12.1f} train images/sec "
@@ -206,7 +260,10 @@ def main(argv=None) -> dict:
                     _m, {"params": bundle["p"]}, bundle["q"], v
                 )
 
-        ips = _throughput(model, params, x, args.iters, apply_fn)
+        ips = _throughput(
+            model, params, x, args.iters, apply_fn,
+            unroll=args.unroll, seq_ctx=seq_ctx,
+        )
         results[curve] = ips
         print(
             f"# {curve:8s} {ips:12.1f} images/sec "

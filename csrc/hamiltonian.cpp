@@ -38,7 +38,6 @@ struct Solver {
     static const int DIAG[4][2] = {{1, 1}, {1, -1}, {-1, 1}, {-1, -1}};
     static_nbrs.resize(total);
     ordered.resize(total);
-    std::vector<int> is_diag_flag(total, 0);
     for (int x = 0; x < width; ++x) {
       for (int y = 0; y < height; ++y) {
         const int c = cell_id(x, y);
@@ -58,8 +57,6 @@ struct Solver {
         // Ordered copy: stable sort by (is_diagonal, guide score) --
         // identical to the Python key (is_diag, score).
         auto ord = sn;
-        const int card_count = diag ? 4 : 4;  // cardinals listed first
-        (void)card_count;
         std::stable_sort(ord.begin(), ord.end(), [&](int a, int b) {
           const int ax = a / height, ay = a % height;
           const int bx = b / height, by = b % height;

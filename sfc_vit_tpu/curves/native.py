@@ -10,6 +10,7 @@ tests/test_native.py).
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 import subprocess
 import threading
@@ -43,13 +44,21 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             return None
         out = _CSRC / _LIB_NAME
         if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
+            # compile to a private temp path then atomically publish:
+            # the in-process lock does not cover OTHER processes (e.g.
+            # parallel pytest workers), and a concurrent dlopen of a
+            # half-written .so would poison this process's fallback for
+            # its whole lifetime.
+            tmp = out.with_suffix(f".tmp.{os.getpid()}.so")
             try:
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", str(out), str(src)],
+                     "-o", str(tmp), str(src)],
                     check=True, capture_output=True, timeout=120,
                 )
+                os.replace(tmp, out)
             except (OSError, subprocess.SubprocessError):
+                tmp.unlink(missing_ok=True)
                 return None
         try:
             lib = ctypes.CDLL(str(out))
@@ -96,7 +105,16 @@ def find_hamiltonian_path_native(
             if 0 <= x < width and 0 <= y < height:
                 prio_arr[x * height + y] = score
         start_cell = min(adjacency_order, key=adjacency_order.get)
-        start = start_cell[0] * height + start_cell[1]
+        sx, sy = start_cell
+        if not (0 <= sx < width and 0 <= sy < height):
+            # the C++ search would write visited[start] out of bounds
+            # (heap corruption); the Python solver raises for the same
+            # input, so fail loudly here too
+            raise ValueError(
+                f"adjacency_order start cell {start_cell} outside the "
+                f"{width}x{height} grid"
+            )
+        start = sx * height + sy
         prio_ptr = prio_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     out = np.empty(2 * total, dtype=np.int32)
     n = lib.sfc_find_hamiltonian_path(

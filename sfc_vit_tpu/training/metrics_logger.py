@@ -80,10 +80,21 @@ class MetricsLogger:
         if self._csv_path is not None:
             new = not self._csv_path.exists()
             if self._csv_fields is None:
-                self._csv_fields = list(record)
+                if new:
+                    self._csv_fields = list(record)
+                else:
+                    # resumed run: append under the EXISTING header --
+                    # freezing columns from this process's first record
+                    # would misalign rows when the record shapes differ
+                    # (e.g. the fully-resumed eval-only record has no
+                    # train_* keys)
+                    with open(self._csv_path, newline="") as f:
+                        header = next(csv.reader(f), None)
+                    self._csv_fields = header or list(record)
             with open(self._csv_path, "a", newline="") as f:
                 writer = csv.DictWriter(
-                    f, fieldnames=self._csv_fields, extrasaction="ignore"
+                    f, fieldnames=self._csv_fields,
+                    extrasaction="ignore", restval="",
                 )
                 if new:
                     writer.writeheader()

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from .losses import cross_entropy, soft_target_cross_entropy
+from .losses import soft_target_cross_entropy
 from .mixing import mix_or_cutmix
 
 __all__ = [

@@ -625,3 +625,50 @@ def test_best_checkpoint_saved_only_on_improvement(tmp_path):
     assert ck.best_step() == 3
     assert ck.best_metric() == 0.6
     ck.close()
+
+
+def test_native_solver_rejects_out_of_grid_start():
+    """An out-of-grid start cell must raise, not heap-corrupt (the C++
+    search writes visited[start] unguarded)."""
+    from sfc_vit_tpu.curves.native import (
+        find_hamiltonian_path_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    with pytest.raises(ValueError, match="outside"):
+        find_hamiltonian_path_native(4, 4, adjacency_order={(10, 10): 0})
+
+
+def test_metrics_csv_resume_keeps_header_alignment(tmp_path):
+    """A resumed run (new process, different first-record shape) must
+    append under the EXISTING csv header, not freeze new columns."""
+    import csv as _csv
+
+    from sfc_vit_tpu.training.metrics_logger import MetricsLogger
+
+    lg = MetricsLogger(tmp_path, stdout=False, primary=True)
+    lg.log({"epoch": 1, "train_loss": 1.0, "test_accuracy": 0.5})
+    lg.close()
+    lg2 = MetricsLogger(tmp_path, stdout=False, primary=True)
+    lg2.log({"epoch": 2, "test_accuracy": 0.6})  # eval-only record
+    lg2.close()
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert rows[1]["epoch"] == "2"
+    assert rows[1]["test_accuracy"] == "0.6"
+    assert rows[1]["train_loss"] == ""  # blank, not misaligned
+
+
+def test_bench_unrolled_and_ring_context(monkeypatch):
+    """bench --attn-impl ring must actually enter the sequence-sharding
+    context (was: silently measured XLA fallback); the unrolled timing
+    harness runs end-to-end."""
+    import bench
+
+    rec = bench.main([
+        "--quick", "--iters", "4", "--unroll", "2", "--curve", "hilbert",
+        "--attn-impl", "ring", "--dtype", "float32",
+    ])
+    assert rec["value"] > 0
