@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Does curve-local attention LEARN as well as dense? (round 3, VERDICT
-item 2).
+"""Does curve-local attention LEARN as well as dense? (round 4 protocol;
+round-3 VERDICT weak-item 2: the first cut was a tie at 1/128 eval
+granularity in a low-accuracy regime, which shows non-divergence but
+cannot resolve an accuracy cost of windowing).
 
-Round 2 established curve-local block attention's throughput (7.28x XLA
-train at 4k tokens) but no accuracy evidence — windowed attention
-computes a different function than dense.  This experiment runs the
-compare-curves protocol (3 seeds x N epochs, mean+-std accuracy per
-epoch) on the 4k-token long-context model: CurveViT 256x256/patch-4
-(hilbert order), ``attn_impl='local'`` (block 128, halo 1 — the
-curve-locality window) vs dense ``attn_impl='xla'``, on the
+Round-4 protocol changes that make the question resolvable:
+  * 1,024 eval samples (1/1024 granularity; was 128),
+  * 3 arms — dense XLA / Pallas flash (exact, kernel) / curve-local
+    windowed (block 128, halo 1) — so kernel-vs-math effects separate
+    from windowing-vs-dense effects,
+  * 2,048 training steps per seed (16 epochs x 128 steps, warmup-cosine
+    over the full budget; was 128 steps total) — the model trains into
+    a separated regime where a real windowing cost would be visible
+    above seed noise.
+
+Model: CurveViT 256x256/patch-4 hilbert (4,096 tokens — the
+long-context family where SFC locality is the thesis), on the
 class-separable synthetic set (CIFAR-10 absent on this zero-egress
 image; same caveat as results/compare_curves_synthetic.json).
 
@@ -34,11 +41,14 @@ sys.path.insert(0, ".")
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=3)
-    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--steps-per-epoch", type=int, default=16)
+    p.add_argument("--steps-per-epoch", type=int, default=128)
     p.add_argument("--image-size", type=int, default=256)
-    p.add_argument("--impls", nargs="+", default=["local", "xla"])
+    p.add_argument("--train-samples", type=int, default=2048)
+    p.add_argument("--eval-samples", type=int, default=1024)
+    p.add_argument("--impls", nargs="+",
+                   default=["local", "pallas", "xla"])
     p.add_argument("--platform", default=None)
     p.add_argument("--out", default="results/local_attention_learning.json")
     args = p.parse_args(argv)
@@ -62,8 +72,8 @@ def main(argv=None):
     )
 
     hw = args.image_size
-    train_ds = synthetic_dataset(n=512, hw=hw, seed=0)
-    test_ds = synthetic_dataset(n=128, hw=hw, seed=1)
+    train_ds = synthetic_dataset(n=args.train_samples, hw=hw, seed=0)
+    test_ds = synthetic_dataset(n=args.eval_samples, hw=hw, seed=1)
     imgs_tr = jnp.asarray(train_ds.images)   # device-resident uint8
     lbl_tr = jnp.asarray(train_ds.labels)
     imgs_te = jnp.asarray(test_ds.images)
@@ -122,7 +132,11 @@ def main(argv=None):
             accs = []
             rng = np.random.default_rng(100 + seed)
             for ep in range(args.epochs):
-                order = rng.permutation(len(train_ds))[: spe * bs]
+                need = spe * bs
+                if need <= len(train_ds):
+                    order = rng.permutation(len(train_ds))[:need]
+                else:  # sample with replacement past one full pass
+                    order = rng.choice(len(train_ds), size=need)
                 idxs = jnp.asarray(order.reshape(spe, bs))
                 state, loss = train_epoch(
                     state, idxs, jax.random.key(seed * 1000 + ep)
@@ -147,16 +161,33 @@ def main(argv=None):
         }
         for impl, r in results.items()
     }
+    # Pairwise deltas vs the dense-XLA arm (the exact-math reference):
+    # a windowing cost shows up as local-minus-dense < -(combined std).
+    if "xla" in results:
+        base = np.asarray(results["xla"]["per_seed"])[:, -1]
+        for impl, r in results.items():
+            if impl == "xla":
+                continue
+            arm = np.asarray(r["per_seed"])[:, -1]
+            summary[impl]["final_delta_vs_xla"] = float(
+                arm.mean() - base.mean()
+            )
+            summary[impl]["delta_std"] = float(
+                np.sqrt(arm.var(ddof=1) / len(arm)
+                        + base.var(ddof=1) / len(base))
+            )
     out = {
         "protocol": {
-            "model": "CurveViT hilbert 256x256/p4 (4096 tokens) "
-                     "d128/depth2/h4",
+            "model": f"CurveViT hilbert {hw}x{hw}/p4 "
+                     f"({(hw // 4) ** 2} tokens) d128/depth2/h4",
             "local_window": "block=128 halo=1 (ops/local_attention.py "
                             "defaults)",
             "dataset": "synthetic class-separable (CIFAR-10 absent; "
                        "see compare_curves_synthetic.json)",
             "seeds": args.seeds, "epochs": args.epochs,
             "batch": bs, "steps_per_epoch": spe,
+            "train_samples": len(train_ds),
+            "eval_samples": n_eval * bs,
         },
         "results": results,
         "summary": summary,

@@ -390,3 +390,66 @@ def test_int8_serving_engine_on_chip():
     b = quant.predict(x)
     rel = float(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9))
     assert rel < 0.06, rel
+
+
+def test_export_fresh_process_roundtrip_on_chip(tmp_path):
+    """Deployment surface beyond run_vit.sh: serialize the int8 serving
+    engine (jax.export StableHLO, qtable included), then deserialize and
+    EXECUTE it in a brand-new process on the TPU — proving the artifact
+    is self-contained (no live engine, no model source needed at load
+    time) and bit-for-bit close to the producing engine's logits."""
+    import pickle
+    import subprocess
+    import sys
+
+    from sfc_vit_tpu.models import CurveViT
+    from sfc_vit_tpu.serving import ServingEngine, mangle_qtable
+
+    m = CurveViT(curve="hilbert", image_size=32, patch_size=4,
+                 num_classes=10, dim=64, depth=2, heads=2, mlp_dim=128,
+                 dim_head=32)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    params = m.init({"params": jax.random.key(0)},
+                    jnp.asarray(x[:1], jnp.float32))
+    eng = ServingEngine(m, params, image_shape=(32, 32, 3),
+                        batch_sizes=(8,), weights="int8",
+                        calibration=[x])
+    blob = eng.export_serialized()[8]
+    want = eng.predict(x)
+
+    payload = tmp_path / "artifact.pkl"
+    with open(payload, "wb") as f:
+        pickle.dump({
+            "blob": blob,
+            "variables": jax.tree_util.tree_map(np.asarray,
+                                                eng.variables),
+            "qtable": jax.tree_util.tree_map(
+                np.asarray, mangle_qtable(eng._qtable)),
+            "x": x,
+            "want": np.asarray(want),
+        }, f)
+
+    code = (
+        "import pickle, sys\n"
+        "import numpy as np\n"
+        "import jax\n"
+        "assert jax.default_backend() == 'tpu', jax.default_backend()\n"
+        "from sfc_vit_tpu.serving import deserialize_forward\n"
+        f"d = pickle.load(open({str(payload)!r}, 'rb'))\n"
+        "f = deserialize_forward(d['blob'])\n"
+        "got = np.asarray(f(d['variables'], d['qtable'], d['x']))\n"
+        "rel = float(np.linalg.norm(got - d['want'])\n"
+        "            / (np.linalg.norm(d['want']) + 1e-9))\n"
+        "print('FRESH_PROCESS_REL', rel)\n"
+        "assert rel < 1e-3, rel\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800,
+        env={**os.environ, "PYTHONPATH": "/root/.axon_site:/root/repo"},
+    )
+    assert proc.returncode == 0, (
+        f"fresh-process execute failed:\n{proc.stderr[-4000:]}"
+    )
+    assert "FRESH_PROCESS_REL" in proc.stdout, proc.stdout
