@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--data-root", default=None)
     d.add_argument("--img-size", type=int, default=32)
     d.add_argument("--batch-size", type=int, default=512)
+    d.add_argument("--loader", default="numpy",
+                   choices=("numpy", "grain"),
+                   help="host batch loader backend: the dependency-free "
+                        "numpy iterator, or grain (thread read-ahead; "
+                        "identical deterministic batch stream)")
+    d.add_argument("--loader-threads", type=int, default=4,
+                   help="grain read threads (--loader grain only)")
     d.add_argument("--no-augment", action="store_true",
                    help="skip train-time augmentation")
 
@@ -164,6 +171,17 @@ def main(argv=None) -> dict:
     from .data import epoch_batches, make_eval_transform, make_train_augment
     from .registry import ModelConfig, build_model
     from .training import TrainConfig, Trainer
+
+    if args.loader == "grain":
+        import functools
+
+        from .data import grain_epoch_batches, have_grain
+
+        if not have_grain():
+            raise SystemExit("--loader grain: grain is not installed")
+        epoch_batches = functools.partial(
+            grain_epoch_batches, num_threads=args.loader_threads
+        )
 
     train_ds, test_ds, (mean, std) = _load_dataset(args)
 

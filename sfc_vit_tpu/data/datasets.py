@@ -28,6 +28,8 @@ __all__ = [
     "load_image_folder",
     "filter_by_class",
     "epoch_batches",
+    "epoch_index_plan",
+    "batch_at",
     "CIFAR10_MEAN",
     "CIFAR10_STD",
     "IMAGENET_MEAN",
@@ -166,8 +168,8 @@ def filter_by_class(ds: Dataset, class_indices: Sequence[int]) -> Dataset:
     return Dataset(ds.images[keep], labels, len(class_indices))
 
 
-def epoch_batches(
-    ds: Dataset,
+def epoch_index_plan(
+    n: int,
     batch_size: int,
     seed: int = 0,
     epoch: int = 0,
@@ -175,15 +177,12 @@ def epoch_batches(
     drop_last: bool = True,
     process_index: int = 0,
     process_count: int = 1,
-) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (uint8 images NHWC, int32 labels) batches for one epoch.
-
-    Multi-host: each process draws the same seeded permutation and takes
-    its strided shard, so per-host batches are disjoint and the global
-    batch is ``batch_size * process_count`` (the mesh-sharded input
-    pipeline the reference has no equivalent of -- SURVEY.md 2f).
-    """
-    n = len(ds)
+) -> Tuple[np.ndarray, Optional[int], int]:
+    """The deterministic per-epoch index plan shared by every loader
+    backend (:func:`epoch_batches` and the grain adapter): returns
+    ``(order, pad_from, end)`` where ``order[:end]`` is this process's
+    sample sequence and positions ``>= pad_from`` (when not None) are
+    eval padding whose labels must report as -1."""
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
@@ -209,10 +208,47 @@ def epoch_batches(
             )
         n = per_host
     end = n - (n % batch_size) if drop_last else n
+    return order, pad_from, end
+
+
+def batch_at(
+    ds: Dataset,
+    order: np.ndarray,
+    pad_from: Optional[int],
+    batch_size: int,
+    i: int,
+    end: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Materialize the batch starting at plan position ``i``."""
+    idx = order[i : min(i + batch_size, end)]
+    labels = ds.labels[idx]
+    if pad_from is not None and i + len(idx) > pad_from:
+        labels = labels.copy()
+        labels[max(0, pad_from - i):] = -1
+    return ds.images[idx], labels
+
+
+def epoch_batches(
+    ds: Dataset,
+    batch_size: int,
+    seed: int = 0,
+    epoch: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (uint8 images NHWC, int32 labels) batches for one epoch.
+
+    Multi-host: each process draws the same seeded permutation and takes
+    its strided shard, so per-host batches are disjoint and the global
+    batch is ``batch_size * process_count`` (the mesh-sharded input
+    pipeline the reference has no equivalent of -- SURVEY.md 2f).
+    """
+    order, pad_from, end = epoch_index_plan(
+        len(ds), batch_size, seed=seed, epoch=epoch, shuffle=shuffle,
+        drop_last=drop_last, process_index=process_index,
+        process_count=process_count,
+    )
     for i in range(0, end, batch_size):
-        idx = order[i : i + batch_size]
-        labels = ds.labels[idx]
-        if pad_from is not None and i + len(idx) > pad_from:
-            labels = labels.copy()
-            labels[max(0, pad_from - i):] = -1
-        yield ds.images[idx], labels
+        yield batch_at(ds, order, pad_from, batch_size, i, end)
