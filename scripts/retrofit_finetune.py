@@ -26,7 +26,10 @@ Example (smoke):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -60,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--workdir", default=None)
+    p.add_argument("--out", default=None,
+                   help="write a JSON artifact (per-epoch metrics from "
+                        "each stage's metrics.jsonl + config) here; "
+                        "requires --workdir for the learning curves")
     p.add_argument("--platform", default=None)
     return p
 
@@ -173,6 +180,39 @@ def main(argv=None) -> dict:
             file=sys.stderr,
         )
 
+    if args.out:
+        import json
+        import pathlib
+
+        curves = {}
+        if args.workdir:
+            for stage in results:
+                mf = pathlib.Path(args.workdir) / stage / "metrics.jsonl"
+                if mf.exists():
+                    curves[stage] = [
+                        json.loads(line)
+                        for line in mf.read_text().splitlines() if line
+                    ]
+        artifact = {
+            "protocol": {
+                "driver": "pretrained_ViT.ipynb cell-7 two-stage cosine",
+                "checkpoint": args.checkpoint or "synthetic-weights",
+                "dataset": args.dataset, "img_size": args.img_size,
+                "curve": args.curve, "posemb": args.posemb,
+                "batch_size": args.batch_size,
+                "stage1_epochs": args.stage1_epochs,
+                "stage2_epochs": stage2,
+                "backend": jax.default_backend(),
+            },
+            "summary": {
+                s: {k: v for k, v in r.items()
+                    if isinstance(v, (int, float))}
+                for s, r in results.items()
+            },
+            "learning_curves": curves,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
     print(results)
     return results
 
