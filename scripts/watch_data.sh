@@ -57,6 +57,7 @@ while true; do
     timeout 43200 python scripts/retrofit_finetune.py \
       --checkpoint "$ckpt" "${ds_args[@]}" \
       --workdir /tmp/retrofit_real \
+      --out results/retrofit_real_ckpt.json \
       > /tmp/r4_data_retrofit.log 2>&1
     echo "retrofit exit=$? $(date)"
   fi

@@ -147,12 +147,14 @@ def test_retrofit_finetune_script_smoke(tmp_path):
     finally:
         sys.path.pop(0)
 
+    out = tmp_path / "artifact.json"
     res = retrofit_finetune.main([
         "--synthetic-weights", "--dataset", "synthetic",
         "--img-size", "64", "--batch-size", "32",
         "--stage1-epochs", "1", "--stage2-epochs", "1",
         "--steps-per-epoch", "2",
         "--workdir", str(tmp_path),
+        "--out", str(out),
     ])
     assert set(res) == {"stage1", "stage2"}
     for stage in res.values():
@@ -161,6 +163,17 @@ def test_retrofit_finetune_script_smoke(tmp_path):
     # periodic checkpoints were written by both stages
     assert (tmp_path / "stage1" / "checkpoints").exists()
     assert (tmp_path / "stage2" / "checkpoints").exists()
+    # --out JSON artifact: protocol + per-stage summary + the learning
+    # curves recovered from each stage's metrics.jsonl
+    import json
+
+    artifact = json.loads(out.read_text())
+    assert set(artifact) == {"protocol", "summary", "learning_curves"}
+    assert artifact["protocol"]["checkpoint"] == "synthetic-weights"
+    assert set(artifact["summary"]) == {"stage1", "stage2"}
+    for stage in ("stage1", "stage2"):
+        curve = artifact["learning_curves"][stage]
+        assert len(curve) == 1 and "test_accuracy" in curve[0]
 
 
 def test_load_real_serialized_torch_checkpoint():
