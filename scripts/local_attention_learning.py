@@ -102,11 +102,15 @@ def main(argv=None):
                                schedule=sched)
         estep = make_eval_step(num_classes=10)
 
+        # Dataset tensors are ARGUMENTS, not closure captures: a
+        # closed-over 400 MB uint8 array risks being baked into the
+        # lowered program (HTTP 413 over the remote-compile tunnel,
+        # CLAUDE.md).
         @jax.jit
-        def train_epoch(state, idxs, key):
+        def train_epoch(state, idxs, key, imgs, lbls):
             def body(st, i):
                 st, m = step(
-                    st, (norm(imgs_tr[i]), lbl_tr[i]), key
+                    st, (norm(imgs[i]), lbls[i]), key
                 )
                 return st, m["loss"]
 
@@ -114,9 +118,9 @@ def main(argv=None):
             return state, losses.mean()
 
         @jax.jit
-        def eval_all(state, idxs):
+        def eval_all(state, idxs, imgs, lbls):
             def body(carry, i):
-                m = estep(state, (norm(imgs_te[i]), lbl_te[i]))
+                m = estep(state, (norm(imgs[i]), lbls[i]))
                 return carry, (m["correct"], m["count"])
 
             _, (cor, cnt) = lax.scan(body, 0, idxs)
@@ -139,9 +143,10 @@ def main(argv=None):
                     order = rng.choice(len(train_ds), size=need)
                 idxs = jnp.asarray(order.reshape(spe, bs))
                 state, loss = train_epoch(
-                    state, idxs, jax.random.key(seed * 1000 + ep)
+                    state, idxs, jax.random.key(seed * 1000 + ep),
+                    imgs_tr, lbl_tr,
                 )
-                acc = float(eval_all(state, eidx))
+                acc = float(eval_all(state, eidx, imgs_te, lbl_te))
                 accs.append(acc)
                 print(f"{impl} seed={seed} epoch={ep + 1} "
                       f"loss={float(loss):.4f} acc={acc:.4f}", flush=True)
