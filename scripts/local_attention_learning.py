@@ -19,6 +19,19 @@ long-context family where SFC locality is the thesis), on the
 class-separable synthetic set (CIFAR-10 absent on this zero-egress
 image; same caveat as results/compare_curves_synthetic.json).
 
+``--task relational`` is the POSITIVE CONTROL (first run of the
+texture task saturated every arm at 1.0: windowing costs nothing
+terminally there, but a ceiling tie can't prove the instrument would
+DETECT a cost).  Each image carries two 32x32 sinusoid markers at
+opposite corners — ~4,000 tokens apart along the Hilbert curve, far
+beyond the depth-2 local receptive field (block 128, halo 1) — and the
+label is (p1 - p2) mod 4, a pure relation: each marker alone is
+uniform over patterns, and the mean-pooled marginals feed a LINEAR
+head, so XOR-style class structure is unreadable without cross-site
+attention.  Dense arms should solve it; the local arm should sit near
+chance (0.25).  A measured dense-vs-local gap here validates that the
+texture-task tie is a real "no cost", not instrument blindness.
+
 Whole epochs run device-side (lax.scan over index batches into the
 device-resident uint8 dataset) — the remote chip costs ~40 ms per
 dispatch, so per-step dispatch would dominate.
@@ -49,6 +62,8 @@ def main(argv=None):
     p.add_argument("--eval-samples", type=int, default=1024)
     p.add_argument("--impls", nargs="+",
                    default=["local", "pallas", "xla"])
+    p.add_argument("--task", choices=["texture", "relational"],
+                   default="texture")
     p.add_argument("--platform", default=None)
     p.add_argument("--out", default="results/local_attention_learning.json")
     args = p.parse_args(argv)
@@ -61,7 +76,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from jax import lax
 
-    from sfc_vit_tpu.data import synthetic_dataset
+    from sfc_vit_tpu.data import Dataset, synthetic_dataset
     from sfc_vit_tpu.models import CurveViT
     from sfc_vit_tpu.training import (
         create_train_state,
@@ -71,9 +86,39 @@ def main(argv=None):
         warmup_cosine,
     )
 
+    def relational_dataset(n, hw, seed):
+        """Two sinusoid markers at opposite corners; label is
+        (p1 - p2) mod 4.  Marginals are uniform — only a model that can
+        RELATE the two sites (≈4k tokens apart on the Hilbert curve)
+        beats chance through the linear head over mean-pooled tokens."""
+        rng = np.random.default_rng(seed)
+        p1 = rng.integers(0, 4, size=n)
+        p2 = rng.integers(0, 4, size=n)
+        labels = ((p1 - p2) % 4).astype(np.int32)
+        m = max(hw // 8, 8)  # marker side
+        yy, xx = np.mgrid[0:m, 0:m].astype(np.float32) / m
+        pats = np.stack([
+            np.sin(2 * np.pi * ((k + 1) * xx + (3 - k) * yy))
+            for k in range(4)
+        ])  # [4, m, m]
+        imgs = np.full((n, hw, hw, 3), 0.5, np.float32)
+        imgs[:, :m, :m, :] = pats[p1][..., None] * 0.5 + 0.5
+        imgs[:, -m:, -m:, :] = pats[p2][..., None] * 0.5 + 0.5
+        imgs += rng.normal(0, 0.05, imgs.shape).astype(np.float32)
+        return Dataset(
+            (np.clip(imgs, 0, 1) * 255).astype(np.uint8), labels, 4
+        )
+
     hw = args.image_size
-    train_ds = synthetic_dataset(n=args.train_samples, hw=hw, seed=0)
-    test_ds = synthetic_dataset(n=args.eval_samples, hw=hw, seed=1)
+    if args.task == "relational":
+        train_ds = relational_dataset(args.train_samples, hw, seed=0)
+        test_ds = relational_dataset(args.eval_samples, hw, seed=1)
+    else:
+        train_ds = synthetic_dataset(n=args.train_samples, hw=hw, seed=0)
+        test_ds = synthetic_dataset(n=args.eval_samples, hw=hw, seed=1)
+    n_classes = train_ds.num_classes
+    n_train = len(train_ds)
+    n_test = len(test_ds)
     imgs_tr = jnp.asarray(train_ds.images)   # device-resident uint8
     lbl_tr = jnp.asarray(train_ds.labels)
     imgs_te = jnp.asarray(test_ds.images)
@@ -87,20 +132,21 @@ def main(argv=None):
     bs = args.batch_size
     spe = args.steps_per_epoch
     total = args.epochs * spe
-    n_eval = len(test_ds) // bs
+    n_eval = n_test // bs
     results = {}
 
     for impl in args.impls:
         model = CurveViT(
-            curve="hilbert", image_size=hw, patch_size=4, num_classes=10,
+            curve="hilbert", image_size=hw, patch_size=4,
+            num_classes=n_classes,
             dim=128, depth=2, heads=4, mlp_dim=256, dim_head=32,
             attn_impl=impl,
         )
         sched = warmup_cosine(3e-4, spe, total)
         tx = make_optimizer(sched)
-        step = make_train_step(num_classes=10, use_mixing=False,
+        step = make_train_step(num_classes=n_classes, use_mixing=False,
                                schedule=sched)
-        estep = make_eval_step(num_classes=10)
+        estep = make_eval_step(num_classes=n_classes)
 
         # Dataset tensors are ARGUMENTS, not closure captures: a
         # closed-over 400 MB uint8 array risks being baked into the
@@ -137,10 +183,10 @@ def main(argv=None):
             rng = np.random.default_rng(100 + seed)
             for ep in range(args.epochs):
                 need = spe * bs
-                if need <= len(train_ds):
-                    order = rng.permutation(len(train_ds))[:need]
+                if need <= n_train:
+                    order = rng.permutation(n_train)[:need]
                 else:  # sample with replacement past one full pass
-                    order = rng.choice(len(train_ds), size=need)
+                    order = rng.choice(n_train, size=need)
                 idxs = jnp.asarray(order.reshape(spe, bs))
                 state, loss = train_epoch(
                     state, idxs, jax.random.key(seed * 1000 + ep),
@@ -187,11 +233,17 @@ def main(argv=None):
                      f"({(hw // 4) ** 2} tokens) d128/depth2/h4",
             "local_window": "block=128 halo=1 (ops/local_attention.py "
                             "defaults)",
-            "dataset": "synthetic class-separable (CIFAR-10 absent; "
-                       "see compare_curves_synthetic.json)",
+            "task": args.task,
+            "dataset": (
+                "relational positive control: two corner markers, "
+                "label=(p1-p2)%4, chance=0.25 (see module docstring)"
+                if args.task == "relational" else
+                "synthetic class-separable (CIFAR-10 absent; "
+                "see compare_curves_synthetic.json)"
+            ),
             "seeds": args.seeds, "epochs": args.epochs,
             "batch": bs, "steps_per_epoch": spe,
-            "train_samples": len(train_ds),
+            "train_samples": n_train,
             "eval_samples": n_eval * bs,
         },
         "results": results,

@@ -161,10 +161,13 @@ def main(argv=None):
                                        schedule=sched)
                 estep = make_eval_step(num_classes=10)
 
+                # dataset tensors as ARGUMENTS, not closures: a
+                # closed-over 400 MB array risks HTTP 413 over the
+                # remote-compile tunnel (CLAUDE.md)
                 @jax.jit
-                def train_epoch(state, idxs, key):
+                def train_epoch(state, idxs, key, imgs, lbls):
                     def body(st, i):
-                        st, m = step(st, (norm(imgs_tr[i]), lbl_tr[i]),
+                        st, m = step(st, (norm(imgs[i]), lbls[i]),
                                      key)
                         return st, m["loss"]
 
@@ -172,9 +175,9 @@ def main(argv=None):
                     return state, losses.mean()
 
                 @jax.jit
-                def eval_all(state, idxs):
+                def eval_all(state, idxs, imgs, lbls):
                     def body(c, i):
-                        m = estep(state, (norm(imgs_te[i]), lbl_te[i]))
+                        m = estep(state, (norm(imgs[i]), lbls[i]))
                         return c, (m["correct"], m["count"])
 
                     _, (cor, cnt) = lax.scan(body, 0, idxs)
@@ -196,8 +199,10 @@ def main(argv=None):
                         idxs = jnp.asarray(
                             order.reshape(spe, bs_train))
                         state, loss = train_epoch(
-                            state, idxs, jax.random.key(seed * 997 + ep))
-                        accs.append(float(eval_all(state, eidx)))
+                            state, idxs, jax.random.key(seed * 997 + ep),
+                            imgs_tr, lbl_tr)
+                        accs.append(
+                            float(eval_all(state, eidx, imgs_te, lbl_te)))
                     print(f"{scale_key} {arm['name']} seed={seed} "
                           f"final_acc={accs[-1]:.4f}", flush=True)
                     per_seed.append(accs)

@@ -543,19 +543,64 @@ def _bwd_footprint(
     return weights + accums + tiles + scratch + logits + row_f32
 
 
+def _bwd_unroll_overhead(n_pad: int) -> int:
+    """Live-window overhead of the unrolled per-(image, head) loop.
+
+    The backward's softmax recompute is a PYTHON loop over (bb, heads)
+    — Mosaic requires static lane slicing at dh < 128, so it is fully
+    unrolled — and Mosaic's scheduler keeps a pipeline window of
+    ~10 extra [n_pad, n_pad] fp32 temporaries live beyond the current
+    iteration.  Measured at (b=16, n=1024, d=128, heads=4, fp32):
+    compile-time scoped-vmem OOM at 103.8 MiB actual vs the 64.5 MiB
+    single-iteration model; this term (40.0 MiB there) lands the
+    estimate at 104.5 MiB.  Negligible at ViT-B geometry (2.0 MiB at
+    n_pad=208), so the measured-best block_b=8 is unaffected."""
+    return 10 * n_pad * _round_up(n_pad, 128) * 4
+
+
+def choose_bwd_block_b(
+    b: int, n_pad: int, d: int, inner: int, itemsize: int,
+    with_acts: bool,
+) -> int:
+    """Largest grid block that divides the batch and fits VMEM —
+    measured on v5e at ViT-B shapes: 8 beats 4 by ~5.5% pre-acts
+    (results/r3_bwd_tuning.json) and by ~1% with saved acts
+    (results/r3_bwd_lse_ab.json).  Budget 0.80: the with_acts+lse
+    estimate at ViT-B block_b=8 is 79.3 MiB and is measured to compile
+    and run within the 100 MiB limit (same A/B).  The second condition
+    adds the unrolled-loop live-window overhead against a 0.97 budget
+    of the full limit — it only bites in the long-N regime where the
+    per-head [n_pad, n_pad] temporaries are MiB-scale."""
+    block_b = 8
+    while block_b > 1 and (
+        b % block_b
+        or _bwd_footprint(n_pad, d, inner, itemsize, block_b,
+                          with_acts) > 0.80 * _VMEM_LIMIT
+        or (_bwd_footprint(n_pad, d, inner, itemsize, block_b,
+                           with_acts) + _bwd_unroll_overhead(n_pad))
+        > 0.97 * _VMEM_LIMIT
+    ):
+        block_b //= 2
+    while b % block_b != 0:
+        block_b //= 2
+    return block_b
+
+
 def attn_block_bwd_fits(
     n: int, d: int, inner: int, itemsize: int, block_b: int = 1
 ) -> bool:
     """True when the TRAINING backward can run at ANY block_b (the call
     auto-shrinks from 8; this gates the train rule).  Models the
     with_acts footprint — the train path always saves qkv/att — so the
-    gate decides on the kernel that actually runs."""
+    gate decides on the kernel that actually runs, including the
+    unrolled-loop live-window overhead observed at long N."""
     if n > 1024:
         return False
     n_pad = _round_up(n, 16)
-    return (_bwd_footprint(n_pad, d, inner, itemsize, block_b,
-                           with_acts=True)
-            <= 0.75 * _VMEM_LIMIT)
+    fp = _bwd_footprint(n_pad, d, inner, itemsize, block_b,
+                        with_acts=True)
+    return (fp <= 0.75 * _VMEM_LIMIT
+            and fp + _bwd_unroll_overhead(n_pad) <= 0.97 * _VMEM_LIMIT)
 
 
 @functools.partial(
@@ -586,20 +631,9 @@ def _fused_attn_block_bwd(
         g = jnp.pad(g, pad)
         # qkv/att were saved PADDED by the forward (save_acts path)
     if block_b is None:
-        # Largest grid block that divides the batch and fits VMEM —
-        # measured on v5e at ViT-B shapes: 8 beats 4 by ~5.5% pre-acts
-        # (results/r3_bwd_tuning.json) and by ~1% with saved acts
-        # (results/r3_bwd_lse_ab.json).  Budget 0.80: the with_acts+lse
-        # estimate at ViT-B block_b=8 is 79.4 MiB and is measured to
-        # compile and run within the 100 MiB limit (same A/B).
-        block_b = 8
-        while block_b > 1 and (
-            b % block_b
-            or _bwd_footprint(n_pad, d, inner, x.dtype.itemsize,
-                              block_b, with_acts)
-            > 0.80 * _VMEM_LIMIT
-        ):
-            block_b //= 2
+        block_b = choose_bwd_block_b(
+            b, n_pad, d, inner, x.dtype.itemsize, with_acts
+        )
     while b % block_b != 0:
         block_b //= 2
     rows = block_b * n_pad

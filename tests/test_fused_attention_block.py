@@ -426,3 +426,24 @@ def test_bwd_bf16exp_recompute_grads_close():
         bf = np.asarray(b, np.float32).ravel()
         rel = np.linalg.norm(af - bf) / (np.linalg.norm(bf) + 1e-9)
         assert rel < 2e-2, rel
+
+
+def test_bwd_block_b_chooser_long_n_vmem():
+    """Regression: at (b=16, n_pad=1024, d=128, inner=128, fp32) the
+    single-iteration footprint model chose block_b=4, whose REAL Mosaic
+    scoped-vmem allocation is 103.8 MiB > the 100 MiB limit (observed
+    compile-time OOM, round 4).  The chooser must now account for the
+    unrolled per-(image, head) loop's live window and pick <= 2 there,
+    while keeping the measured-best block_b=8 at ViT-B geometry."""
+    from sfc_vit_tpu.ops.fused_attention_block import (
+        attn_block_bwd_fits,
+        choose_bwd_block_b,
+    )
+
+    # the geometry that OOMed on-chip (CurveViT dim=128, 1024 tokens)
+    assert choose_bwd_block_b(16, 1024, 128, 128, 4, True) <= 2
+    # ViT-B/16 bf16 train (n_pad=208): stays at the measured-best 8
+    assert choose_bwd_block_b(64, 208, 768, 768, 2, True) == 8
+    # the train-rule gate still admits both geometries (block_b shrinks)
+    assert attn_block_bwd_fits(1024, 128, 128, 4)
+    assert attn_block_bwd_fits(197, 768, 768, 2)
