@@ -406,14 +406,46 @@ def _bwd_footprint(
     return weights + accums + tiles + saved + mask + scratch + logits
 
 
+def _bwd_unroll_overhead(n_pad: int) -> int:
+    """Live-window overhead of the unrolled per-(image, head) loop —
+    same phenomenon as ops/fused_attention_block.py::
+    _bwd_unroll_overhead (measured there: Mosaic keeps ~10 extra
+    [n_pad, n_pad] fp32 temporaries live at long N, a compile-time
+    scoped-vmem OOM the single-iteration model misses by 40 MB at
+    n_pad=1024).  Same coefficient; negligible at the short-N
+    geometries this kernel usually runs (0.9 MiB at n_pad=196)."""
+    return 10 * n_pad * _round_up(n_pad, 128) * 4
+
+
+def choose_bwd_block_b(
+    b: int, n_pad: int, d: int, itemsize: int, heads: int
+) -> int:
+    """Largest batch-dividing grid block fitting the footprint model at
+    the 0.80 budget AND footprint+unroll-overhead at 0.97 of the full
+    limit (the long-N guard; see _bwd_unroll_overhead)."""
+    block_b = 8
+    while block_b > 1 and (
+        b % block_b
+        or _bwd_footprint(n_pad, d, itemsize, heads, block_b)
+        > 0.80 * _VMEM_LIMIT
+        or (_bwd_footprint(n_pad, d, itemsize, heads, block_b)
+            + _bwd_unroll_overhead(n_pad)) > 0.97 * _VMEM_LIMIT
+    ):
+        block_b //= 2
+    while b % block_b != 0:
+        block_b //= 2
+    return block_b
+
+
 def torch_mha_bwd_fits(
     n: int, d: int, itemsize: int, heads: int, block_b: int = 1
 ) -> bool:
     if n > 1024:
         return False
     n_pad = _round_up(n, 16)
-    return (_bwd_footprint(n_pad, d, itemsize, heads, block_b)
-            <= 0.80 * _VMEM_LIMIT)
+    fp = _bwd_footprint(n_pad, d, itemsize, heads, block_b)
+    return (fp <= 0.80 * _VMEM_LIMIT
+            and fp + _bwd_unroll_overhead(n_pad) <= 0.97 * _VMEM_LIMIT)
 
 
 @functools.partial(
@@ -443,13 +475,9 @@ def _torch_mha_bwd(
         )
         # qkv/att/lse were saved PADDED by the forward
     if block_b is None:
-        block_b = 8
-        while block_b > 1 and (
-            b % block_b
-            or _bwd_footprint(n_pad, d, x.dtype.itemsize, heads, block_b)
-            > 0.80 * _VMEM_LIMIT
-        ):
-            block_b //= 2
+        block_b = choose_bwd_block_b(
+            b, n_pad, d, x.dtype.itemsize, heads
+        )
     while b % block_b != 0:
         block_b //= 2
     rows = block_b * n_pad

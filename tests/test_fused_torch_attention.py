@@ -308,3 +308,24 @@ def test_primal_routes_like_the_vjp_forward():
         train_impl="auto",
     )
     np.testing.assert_array_equal(np.asarray(got_auto), np.asarray(want))
+
+
+def test_bwd_block_b_chooser_unroll_overhead():
+    """Mirror of fused_attention_block's long-N VMEM regression: the
+    backward chooser must include the unrolled per-(image, head) live
+    window (measured +40 MB over the single-iteration model at
+    n_pad=1024 on the sibling kernel) without demoting any production
+    geometry."""
+    from sfc_vit_tpu.ops.fused_torch_attention import (
+        choose_bwd_block_b,
+        torch_mha_bwd_fits,
+    )
+
+    # production family-A geometries keep their measured block sizes
+    assert choose_bwd_block_b(512, 256, 768, 2, 4) == 8   # flagship 1D
+    assert choose_bwd_block_b(256, 208, 768, 2, 12) == 8  # post-norm B
+    assert choose_bwd_block_b(64, 208, 768, 4, 12) == 4
+    # long-N fp32: footprint+overhead exceeds the limit at every
+    # block_b -> the gate must route training to the XLA rule
+    assert not torch_mha_bwd_fits(1024, 128, 4, 4)
+    assert not torch_mha_bwd_fits(1024, 256, 4, 4)
