@@ -193,8 +193,9 @@ def _flash_fwd(
         return x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], dh)
 
     qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
-    n_pad_q = _round_up(nq, block_q)
     bk = _auto_block_k(nk) if block_k is None else block_k
+    block_q = _fwd_block_q_cap(block_q, bk, q.dtype)
+    n_pad_q = _round_up(nq, block_q)
     g = _auto_block_h(max(nq, nk), h) if block_h is None else block_h
     assert bh % g == 0, f"block_h {g} must divide batch*heads {bh}"
     n_pad_k = _round_up(nk, bk)
@@ -624,6 +625,34 @@ def _auto_block_k(n: int) -> int:
     fits VMEM comfortably; stream in 1k chunks beyond."""
     n_pad = _round_up(n, 128)
     return n_pad if n_pad <= _SINGLE_KSTEP_MAX else 1024
+
+
+def _fwd_block_q_cap(block_q: int, block_k: int, dtype) -> int:
+    """Demote the forward q tile while its modeled VMEM live window
+    exceeds the 16 MB scoped budget.
+
+    Mosaic keeps TWO (block_q, block_k) temporaries live in the fwd
+    body — the fp32 logits tile ``s`` and ``exp(s - m)``; the ``/l``
+    and ``astype(v.dtype)`` steps reuse dead buffers.  For fp32 inputs
+    the live pair is 8*bq*bk bytes: measured 16.91 MiB scoped
+    allocation at (bq=512, bk=4096, fp32) — 928 KiB over the 16 MiB
+    limit, a compile-time OOM that killed the relational
+    local-attention study's pallas arm at 4,096 tokens / dh=32
+    (results/local_attention_relational.json).  For bf16 inputs the
+    second live tile is the bf16 ``p`` fed to the MXU (6*bq*bk total,
+    12.6 MiB at the same blocks — the measured-good config behind the
+    attention-scaling table in RESULTS.md, which must NOT demote).
+    The 15.5 MiB budget leaves room for the q/k/v/o tiles and the lane
+    scratch.  In practice only fp32 single-K-step configs with
+    N in (3840, 4096] demote (512 -> 256); the round_up(n, bq) padding
+    is identical for both tiles across that whole range, so the saved
+    LSE row count seen by the streaming backward is unchanged.
+    """
+    per_elem = 4 + min(jnp.dtype(dtype).itemsize, 4)
+    bq = block_q
+    while bq > 128 and per_elem * bq * block_k > int(15.5 * 2**20):
+        bq //= 2
+    return bq
 
 
 def _use_streaming_bwd(n: int) -> bool:

@@ -508,3 +508,41 @@ def test_packed_flash_attention_cpu_fallback():
     want = _packed_xla_ref(qkv, 2, 32 ** -0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_flash_fwd_block_q_cap_vmem_window():
+    """The fp32 single-K-step forward at N=4096 must demote block_q
+    512 -> 256: Mosaic keeps two (block_q, block_k) fp32 temporaries
+    live (measured 16.91 MiB scoped allocation vs the 16 MiB limit — a
+    compile-time OOM that killed the relational local-attention study's
+    pallas arm).  The measured-good bf16 config of the attention
+    scaling table (512 x 4096) must NOT demote."""
+    from sfc_vit_tpu.ops.flash_attention import _fwd_block_q_cap
+
+    # the crash geometry: fp32, single K step at N=4096
+    assert _fwd_block_q_cap(512, 4096, jnp.float32) == 256
+    # measured-good bf16 at the same blocks stays
+    assert _fwd_block_q_cap(512, 4096, jnp.bfloat16) == 512
+    # streaming block_k (N > 4096) never demotes
+    assert _fwd_block_q_cap(512, 1024, jnp.float32) == 512
+    # short sequences (single K step <= 2048) never demote
+    assert _fwd_block_q_cap(512, 2048, jnp.float32) == 512
+    # floor: never below the 128 the backward envelope assumes
+    assert _fwd_block_q_cap(128, 4096, jnp.float32) == 128
+
+    # the demoted config still matches XLA (fwd, auto blocks)
+    from sfc_vit_tpu.ops.attention import dot_product_attention_xla
+    from sfc_vit_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(13)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 4096, 1, 32)) / 8,
+                    jnp.float32)
+        for _ in range(3)
+    )
+    got = flash_attention(q, k, v, interpret=True)
+    want = dot_product_attention_xla(q, k, v)
+    rel = float(
+        jnp.linalg.norm(got - want) / (jnp.linalg.norm(want) + 1e-9)
+    )
+    assert rel < 2e-5, rel
