@@ -546,3 +546,39 @@ def test_flash_fwd_block_q_cap_vmem_window():
         jnp.linalg.norm(got - want) / (jnp.linalg.norm(want) + 1e-9)
     )
     assert rel < 2e-5, rel
+
+
+def test_saved_lse_padding_covers_streaming_bwd():
+    """Contract between `_fa_fwd` and `_fa_bwd` (flash_attention.py):
+    the forward saves LSE rows padded to the CAPPED q block
+    (`_fwd_block_q_cap` may demote), while the backward slices
+    ``lse[:, :n_pad_bwd]`` with a padding derived from the UNCAPPED
+    auto block.  If any (N, dtype) ever demotes where
+    ``round_up(n, capped) < round_up(n, uncapped)`` the slice comes up
+    short and `broadcast_to` raises at trace time deep inside training.
+    Today only fp32 N in (3840, 4096] demotes and both paddings are
+    4096 there; this sweep keeps any future cap extension (e.g. a
+    dh-aware term) honest across the whole streaming-backward range."""
+    from sfc_vit_tpu.ops.flash_attention import (
+        _auto_block_k,
+        _auto_block_q,
+        _fwd_block_q_cap,
+        _use_streaming_bwd,
+    )
+    from sfc_vit_tpu.ops.kernel_utils import round_up
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for n in range(2049, 8193):
+            if not _use_streaming_bwd(n):
+                continue
+            bq_auto = _auto_block_q(n)
+            bq_capped = _fwd_block_q_cap(bq_auto, _auto_block_k(n), dtype)
+            # _fa_bwd: cap at 512 only when 512 divides the fwd block
+            bq_bwd = (512 if bq_auto > 512 and bq_auto % 512 == 0
+                      else bq_auto)
+            n_pad_fwd = round_up(n, bq_capped)
+            n_pad_bwd = round_up(n, bq_bwd)
+            assert n_pad_bwd <= n_pad_fwd, (
+                n, jnp.dtype(dtype).name, bq_auto, bq_capped,
+                n_pad_fwd, n_pad_bwd,
+            )
