@@ -223,10 +223,11 @@ def main(argv=None):
             summary[impl]["final_delta_vs_xla"] = float(
                 arm.mean() - base.mean()
             )
+            # ddof=1 needs >=2 seeds; emit JSON-safe null, not NaN
             summary[impl]["delta_std"] = float(
                 np.sqrt(arm.var(ddof=1) / len(arm)
                         + base.var(ddof=1) / len(base))
-            )
+            ) if len(arm) > 1 and len(base) > 1 else None
     out = {
         "protocol": {
             "model": f"CurveViT hilbert {hw}x{hw}/p4 "

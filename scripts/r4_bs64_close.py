@@ -94,10 +94,11 @@ def main():
     print(f"backend: {jax.default_backend()}", flush=True)
 
     def protocol(sched):
-        return optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.adamw(sched, weight_decay=5e-5),
-        )
+        # the production recipe itself — not a re-implementation that
+        # could drift from what the trainer/bar measurements use
+        from sfc_vit_tpu.training.steps import make_optimizer
+
+        return make_optimizer(sched)
 
     def bf16_mu(sched):
         return optax.chain(

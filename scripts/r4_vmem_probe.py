@@ -17,8 +17,16 @@ Harness notes (measured 2026-08-19):
     the Mosaic kernel compile — the known-OOM uncapped (512, 4096,
     fp32) config "compiles" clean in 1.9 s.  Mosaic only compiles on
     first EXECUTION, so the probe executes every row.
-  * A NEGATIVE CONTROL row (that same uncapped config) runs FIRST and
-    must come back ``vmem_overflow``, or the whole run is invalid.
+  * Grid EXTENTS change Mosaic's buffer allocation: the same uncapped
+    config compiles fine at (b=1, h=1) (grid (1, 8, 1), 456 s fresh
+    compile) and fails at the study's (b=8, h=4) (grid (32, 8, 1),
+    extent-1 axes evidently skip double-buffering).  Rows therefore
+    run at b=8, h=4 — the realistic training-grid shape.
+  * Failures surface as an opaque ``HTTP 500: tpu_compile_helper
+    subprocess exit code 1`` from the remote-compile tunnel, not a
+    clean Mosaic scoped-vmem message — classified ``compile_failed``.
+  * A NEGATIVE CONTROL row (the measured-OOM uncapped config) runs
+    FIRST and must fail, or the whole run is invalid.
   * Each row runs in its own subprocess: a failed compile must not be
     able to wedge the backend connection for the rows after it.
 
@@ -43,22 +51,29 @@ n, dh, dtname, lse, uncapped = json.loads(sys.argv[1])
 dtype = jnp.dtype(dtname)
 assert jax.default_backend() == "tpu", jax.default_backend()
 rng = np.random.default_rng(0)
-q = jnp.asarray(rng.standard_normal((1, n, 1, dh)) / 8, dtype)
+B, H = 8, 4  # realistic training grid extents (see module docstring)
+mk = lambda: jnp.asarray(rng.standard_normal((B, n, H, dh)) / 8, dtype)
+q, k, v = mk(), mk(), mk()
 bq0 = fa._auto_block_q(n)
 bk = fa._auto_block_k(n)
 bq = bq0 if uncapped else fa._fwd_block_q_cap(bq0, bk, dtype)
 if uncapped:
-    fa._fwd_block_q_cap = lambda b, k, d: b
+    fa._fwd_block_q_cap = lambda b, kk, d: b
 t0 = time.time()
 try:
-    out = fa._flash_fwd(q, q, q, 1.0, block_q=bq0, return_lse=lse)
+    out = fa._flash_fwd(q, k, v, 1.0, block_q=bq0, return_lse=lse)
     out = out[0] if lse else out
     val = float(out[0, 0, 0, 0])  # scalar readback forces execution
     status, detail = "ok", f"out[0,0,0,0]={val:.4f}"
 except Exception as e:
     msg = str(e)
     m = re.search(r"[sS]coped\s+vmem[^\n]{0,120}", msg)
-    status = "vmem_overflow" if "vmem" in msg.lower() else "error"
+    if m or "vmem" in msg.lower():
+        status = "vmem_overflow"
+    elif "tpu_compile_helper" in msg or "remote_compile" in msg:
+        status = "compile_failed"
+    else:
+        status = "error"
     detail = (m.group(0) if m else msg.splitlines()[0])[:220]
 print("ROW " + json.dumps({
     "n": n, "dh": dh, "dtype": dtname, "with_lse": lse,
@@ -97,25 +112,32 @@ def main():
     ctl = run_row(4096, 32, "float32", True, uncapped=True)
     rows.append(ctl)
     print(json.dumps(ctl), flush=True)
-    if ctl["status"] != "vmem_overflow":
-        print("NEGATIVE CONTROL DID NOT OVERFLOW — aborting probe")
+    if ctl["status"] == "ok":
+        print("NEGATIVE CONTROL DID NOT FAIL — aborting probe")
         with open(OUT, "w") as f:
             json.dump({"probe": "flash fwd scoped-VMEM fit (INVALID: "
                        "negative control passed)", "rows": rows}, f,
                       indent=1)
         return
     # The single-K-step boundary (N=4096) is where the logits tile is
-    # largest — probe every (dh, dtype, lse) corner there.  Two streamed
-    # (bk=1024) rows at N=8192/dh=128 and one crossover row at
+    # largest — probe every (dh, dtype) corner there with the
+    # training-path LSE output (plus two no-LSE inference rows).  Two
+    # streamed (bk=1024) rows at N=8192/dh=128 and one crossover row at
     # N=2048/dh=128/fp32 sanity-check the regimes where the pair model
-    # says there is ample headroom.
-    grid = [(4096, dh, dt, lse)
+    # says there is ample headroom.  The fp32 boundary sweep maps where
+    # UNDEMOTED bq=512 single-K-step configs stop fitting as bk grows
+    # through (3584..3968] — the current cap only demotes at bk > 3968
+    # (review round 4: 8*512*3968 == 15.5 MiB exactly, strict '>').
+    grid = [(4096, dh, dt, True)
             for dh in (32, 64, 128)
-            for dt in ("float32", "bfloat16")
-            for lse in (False, True)]
+            for dt in ("float32", "bfloat16")]
+    grid += [(4096, 32, "float32", False), (4096, 32, "bfloat16", False)]
     grid += [(8192, 128, "float32", True),
              (8192, 128, "bfloat16", True),
              (2048, 128, "float32", True)]
+    grid += [(n, dh, "float32", True)
+             for n in (3584, 3712, 3840, 3896, 3968)
+             for dh in (32, 64)]
     for n, dh, dt, lse in grid:
         r = run_row(n, dh, dt, lse)
         rows.append(r)

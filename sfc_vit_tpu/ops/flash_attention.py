@@ -706,7 +706,17 @@ def _fa_bwd(scale, block_q, block_k, block_h, interpret, res, g):
         # the measured-good (512, 1024) and re-pad/slice the LSE rows
         # to the bwd's own q padding — any divisor works, pad rows are
         # don't-care (zero-padded g zeroes their dk/dv contributions).
+        # MIRROR the fwd's VMEM demotion (`_fwd_block_q_cap`, keyed on
+        # the K/V length) before deriving the padding: the saved LSE
+        # covers round_up(nq, capped) rows, and with cross-attention
+        # shapes (nq != nk, e.g. the Ulysses Q-slice x gathered-K/V
+        # step) the capped and uncapped paddings genuinely diverge —
+        # slicing by the uncapped padding would over-run the saved
+        # rows and fail at trace time (tests/test_ops.py::
+        # test_saved_lse_padding_covers_streaming_bwd).
         bq_fwd = _auto_block_q(q.shape[1]) if block_q is None else block_q
+        bk_fwd = _auto_block_k(k.shape[1]) if block_k is None else block_k
+        bq_fwd = _fwd_block_q_cap(bq_fwd, bk_fwd, q.dtype)
         # cap only when 512 divides the fwd block: then the bwd padding
         # is <= the fwd padding the saved LSE rows cover
         bq = 512 if bq_fwd > 512 and bq_fwd % 512 == 0 else bq_fwd

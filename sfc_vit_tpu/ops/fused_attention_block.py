@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_utils import (
     NEG_INF as _NEG_INF,
+    bwd_unroll_overhead as _bwd_unroll_overhead,
     ln_fp32 as _ln_fp32,
     round_up as _round_up,
 )
@@ -541,21 +542,6 @@ def _bwd_footprint(
     logits = 4 * n_pad * _round_up(n_pad, 128) * 4  # s/p/dpn/ds fp32
     row_f32 = 4 * rows * d * 4  # xhat, dxn, dxh, dxf
     return weights + accums + tiles + scratch + logits + row_f32
-
-
-def _bwd_unroll_overhead(n_pad: int) -> int:
-    """Live-window overhead of the unrolled per-(image, head) loop.
-
-    The backward's softmax recompute is a PYTHON loop over (bb, heads)
-    — Mosaic requires static lane slicing at dh < 128, so it is fully
-    unrolled — and Mosaic's scheduler keeps a pipeline window of
-    ~10 extra [n_pad, n_pad] fp32 temporaries live beyond the current
-    iteration.  Measured at (b=16, n=1024, d=128, heads=4, fp32):
-    compile-time scoped-vmem OOM at 103.8 MiB actual vs the 64.5 MiB
-    single-iteration model; this term (40.0 MiB there) lands the
-    estimate at 104.5 MiB.  Negligible at ViT-B geometry (2.0 MiB at
-    n_pad=208), so the measured-best block_b=8 is unaffected."""
-    return 10 * n_pad * _round_up(n_pad, 128) * 4
 
 
 def choose_bwd_block_b(

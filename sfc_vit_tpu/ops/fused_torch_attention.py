@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_utils import (
     NEG_INF as _NEG_INF,
+    bwd_unroll_overhead as _bwd_unroll_overhead,
     round_up as _round_up,
 )
 
@@ -404,17 +405,6 @@ def _bwd_footprint(
     scratch = rows * 4 * inner * itemsize  # datt + dqkv
     logits = 5 * n_pad * _round_up(n_pad, 128) * 4
     return weights + accums + tiles + saved + mask + scratch + logits
-
-
-def _bwd_unroll_overhead(n_pad: int) -> int:
-    """Live-window overhead of the unrolled per-(image, head) loop —
-    same phenomenon as ops/fused_attention_block.py::
-    _bwd_unroll_overhead (measured there: Mosaic keeps ~10 extra
-    [n_pad, n_pad] fp32 temporaries live at long N, a compile-time
-    scoped-vmem OOM the single-iteration model misses by 40 MB at
-    n_pad=1024).  Same coefficient; negligible at the short-N
-    geometries this kernel usually runs (0.9 MiB at n_pad=196)."""
-    return 10 * n_pad * _round_up(n_pad, 128) * 4
 
 
 def choose_bwd_block_b(

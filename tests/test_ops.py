@@ -548,37 +548,65 @@ def test_flash_fwd_block_q_cap_vmem_window():
     assert rel < 2e-5, rel
 
 
-def test_saved_lse_padding_covers_streaming_bwd():
-    """Contract between `_fa_fwd` and `_fa_bwd` (flash_attention.py):
-    the forward saves LSE rows padded to the CAPPED q block
-    (`_fwd_block_q_cap` may demote), while the backward slices
-    ``lse[:, :n_pad_bwd]`` with a padding derived from the UNCAPPED
-    auto block.  If any (N, dtype) ever demotes where
-    ``round_up(n, capped) < round_up(n, uncapped)`` the slice comes up
-    short and `broadcast_to` raises at trace time deep inside training.
-    Today only fp32 N in (3840, 4096] demotes and both paddings are
-    4096 there; this sweep keeps any future cap extension (e.g. a
-    dh-aware term) honest across the whole streaming-backward range."""
+def _lse_paddings(nq, nk, dtype, block_q=None, block_k=None):
+    """Mirror the fwd/bwd padding computations of `_fa_fwd`/`_fa_bwd`
+    exactly: fwd pads the saved LSE by the CAPPED q block; bwd (post
+    cross-attention fix) re-derives the same capped block before its
+    own 512 envelope cap."""
     from sfc_vit_tpu.ops.flash_attention import (
         _auto_block_k,
         _auto_block_q,
         _fwd_block_q_cap,
-        _use_streaming_bwd,
     )
     from sfc_vit_tpu.ops.kernel_utils import round_up
 
+    bq_auto = _auto_block_q(nq) if block_q is None else block_q
+    bk = _auto_block_k(nk) if block_k is None else block_k
+    bq_capped = _fwd_block_q_cap(bq_auto, bk, dtype)
+    bq_bwd = (512 if bq_capped > 512 and bq_capped % 512 == 0
+              else bq_capped)
+    return round_up(nq, bq_capped), round_up(nq, bq_bwd)
+
+
+def test_saved_lse_padding_covers_streaming_bwd():
+    """Contract between `_fa_fwd` and `_fa_bwd` (flash_attention.py):
+    the forward saves LSE rows padded to the CAPPED q block
+    (`_fwd_block_q_cap` may demote), and the backward slices
+    ``lse[:, :n_pad_bwd]`` — if its padding ever exceeds the saved
+    rows, `broadcast_to` raises at trace time deep inside training.
+    The backward therefore re-derives the SAME capped block (review
+    round 4: slicing by the uncapped auto block broke exactly the
+    cross-attention shapes where the cap is driven by a long K/V
+    length while the q padding granularity shrinks, e.g. fp32
+    nq=2176/nk=4096).  Sweeps self-attention over the streaming range,
+    the cross-attention (nq != nk) plane, and explicit non-auto
+    block_q values; keeps any future cap extension (e.g. a dh-aware
+    term) honest."""
+    from sfc_vit_tpu.ops.flash_attention import _use_streaming_bwd
+
     for dtype in (jnp.float32, jnp.bfloat16):
+        # self-attention, auto blocks
         for n in range(2049, 8193):
             if not _use_streaming_bwd(n):
                 continue
-            bq_auto = _auto_block_q(n)
-            bq_capped = _fwd_block_q_cap(bq_auto, _auto_block_k(n), dtype)
-            # _fa_bwd: cap at 512 only when 512 divides the fwd block
-            bq_bwd = (512 if bq_auto > 512 and bq_auto % 512 == 0
-                      else bq_auto)
-            n_pad_fwd = round_up(n, bq_capped)
-            n_pad_bwd = round_up(n, bq_bwd)
-            assert n_pad_bwd <= n_pad_fwd, (
-                n, jnp.dtype(dtype).name, bq_auto, bq_capped,
-                n_pad_fwd, n_pad_bwd,
-            )
+            n_pad_fwd, n_pad_bwd = _lse_paddings(n, n, dtype)
+            assert n_pad_bwd <= n_pad_fwd, (n, jnp.dtype(dtype).name)
+        # cross-attention: q length and K/V length independent (the
+        # Ulysses sequence-parallel Q-slice x gathered-K/V step)
+        for nq in range(2049, 4608, 37):
+            for nk in (3841, 3968, 4000, 4096, 5120, 8192):
+                if not _use_streaming_bwd(max(nq, nk)):
+                    continue
+                n_pad_fwd, n_pad_bwd = _lse_paddings(nq, nk, dtype)
+                assert n_pad_bwd <= n_pad_fwd, (
+                    nq, nk, jnp.dtype(dtype).name
+                )
+        # explicit block_q (user-specified, incl. non-power-of-two)
+        for bq in (256, 320, 512, 640, 1024):
+            for nq in (2049, 2176, 4096, 6000):
+                n_pad_fwd, n_pad_bwd = _lse_paddings(
+                    nq, 4096, dtype, block_q=bq
+                )
+                assert n_pad_bwd <= n_pad_fwd, (
+                    bq, nq, jnp.dtype(dtype).name
+                )
