@@ -642,15 +642,21 @@ def _fwd_block_q_cap(block_q: int, block_k: int, dtype) -> int:
     second live tile is the bf16 ``p`` fed to the MXU (6*bq*bk total,
     12.6 MiB at the same blocks — the measured-good config behind the
     attention-scaling table in RESULTS.md, which must NOT demote).
-    The 15.5 MiB budget leaves room for the q/k/v/o tiles and the lane
-    scratch.  In practice only fp32 single-K-step configs with
-    N in (3840, 4096] demote (512 -> 256); the round_up(n, bq) padding
-    is identical for both tiles across that whole range, so the saved
-    LSE row count seen by the streaming backward is unchanged.
+    The 15 MiB budget leaves room for the q/k/v/o tiles and the lane
+    scratch; the boundary is MEASURED, not modeled
+    (results/r4_flash_fwd_vmem_probe.json, executed per-config on
+    chip): a 15.0 MiB pair (bq=512, bk=3840, fp32) compiles at dh 32
+    and 64, a 15.5 MiB pair (bk=3968) overflows scoped VMEM by
+    416 KiB — so an earlier 15.5 MiB budget was exactly one block_k
+    boundary too generous.  In practice only fp32 single-K-step
+    configs with N in (3840, 4096] demote (512 -> 256); the
+    round_up(n, bq) padding is identical for both tiles across that
+    whole range, so the saved LSE row count seen by the streaming
+    backward is unchanged.
     """
     per_elem = 4 + min(jnp.dtype(dtype).itemsize, 4)
     bq = block_q
-    while bq > 128 and per_elem * bq * block_k > int(15.5 * 2**20):
+    while bq > 128 and per_elem * bq * block_k > 15 * 2**20:
         bq //= 2
     return bq
 

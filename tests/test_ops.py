@@ -521,6 +521,11 @@ def test_flash_fwd_block_q_cap_vmem_window():
 
     # the crash geometry: fp32, single K step at N=4096
     assert _fwd_block_q_cap(512, 4096, jnp.float32) == 256
+    # measured boundary (results/r4_flash_fwd_vmem_probe.json): the
+    # 15.5 MiB fp32 pair at bk=3968 overflows on chip by 416 KiB and
+    # must demote; the 15.0 MiB pair at bk=3840 compiles and must not
+    assert _fwd_block_q_cap(512, 3968, jnp.float32) == 256
+    assert _fwd_block_q_cap(512, 3840, jnp.float32) == 512
     # measured-good bf16 at the same blocks stays
     assert _fwd_block_q_cap(512, 4096, jnp.bfloat16) == 512
     # streaming block_k (N > 4096) never demotes
