@@ -60,6 +60,27 @@ __all__ = [
 _FUSED_BWD_MAX = 2048
 # Streaming forward: single K step (full-KV data movement) up to here.
 _SINGLE_KSTEP_MAX = 4096
+#: Scoped-VMEM limit override for the flash pallas_calls.  ``None`` =
+#: Mosaic's 16 MiB default — the regime every measured-good config and
+#: every chooser budget in this module was tuned in.  The fused-block
+#: kernels raise theirs to 100 MiB per-call on this same chip
+#: (fused_mlp.py: v5e has 128 MiB physical VMEM; 16 MiB is just the
+#: default scoped budget), so headroom exists — but raising it here is
+#: only done on the strength of measurement
+#: (scripts/r4_flash_vmem_limit_ab.py), never to paper over a chooser
+#: bug: a config that overflows 16 MiB has logits temporaries too big
+#: to double-buffer well, and may be slower than its demoted sibling.
+_VMEM_LIMIT: Optional[int] = None
+
+
+def _compiler_kwargs() -> dict:
+    if _VMEM_LIMIT is None:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        )
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +247,7 @@ def _flash_fwd(
             with_lse=return_lse,
             _single_k_step=(n_pad_k // bk == 1),
         ),
+        **_compiler_kwargs(),
         grid=grid,
         in_specs=[
             pl.BlockSpec((g, block_q, dh), lambda i, j, kk: (i, j, 0),
@@ -358,6 +380,7 @@ def _fused_bwd(q, k, v, g, scale, block_q=128, interpret=False):
     )
     dq, dk, dv = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, scale=scale, n_actual=nk),
+        **_compiler_kwargs(),
         grid=grid,
         in_specs=[tile(), full(), full(), tile()],
         out_specs=(tile(), full(), full()),
@@ -527,6 +550,7 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, n_actual=nk,
                           block_k=block_k),
+        **_compiler_kwargs(),
         grid=(bh, n_pad_q // block_q, n_pad_k // block_k),
         in_specs=[
             q_tile(lambda i, j, kk: (i, j, 0)),
@@ -550,6 +574,7 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, n_actual=nk,
                           block_k=block_k),
+        **_compiler_kwargs(),
         grid=(bh, n_pad_k // block_k, n_pad_q // block_q),
         in_specs=[
             k_tile(lambda i, kk, j: (i, kk, 0)),
