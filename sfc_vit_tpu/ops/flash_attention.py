@@ -53,24 +53,32 @@ __all__ = [
     "flash_attention", "packed_flash_attention",
     "flash_attention_with_lse",
 ]
-# Above this padded length the full-KV fused backward would not fit the
-# 16 MB scoped VMEM (measured on v5e: block_q=512 at N=4096 needs 25.8 MB
-# — logits-sized fp32 temporaries + full dK/dV blocks); switch to the
-# streaming pair.
-_FUSED_BWD_MAX = 2048
+# Above this padded length use the streaming backward pair instead of
+# the one-pass fused backward.  History: at Mosaic's 16 MiB default
+# scoped-VMEM limit the boundary was 2048 (block_q=512 at N=4096 needs
+# 25.8 MiB of logits-sized fp32 temporaries + full dK/dV blocks); with
+# the 100 MiB `_VMEM_LIMIT` below the fused kernel compiles AND wins at
+# both 4k and 8k (results/r4_flash_vmem_limit_ab.json: 6.77/6.89 ms at
+# N=4096 dh32/dh64 vs 7.69/7.49 streaming; 6.92 vs 7.32 at N=8192) —
+# it recomputes the logits once where the streaming pair recomputes
+# them twice.  Past 8k the (block_q, n_pad) fp32 temporaries exceed
+# even the raised budget (16 MiB per tile at bq=512/N=16k).
+_FUSED_BWD_MAX = 8192
 # Streaming forward: single K step (full-KV data movement) up to here.
 _SINGLE_KSTEP_MAX = 4096
-#: Scoped-VMEM limit override for the flash pallas_calls.  ``None`` =
-#: Mosaic's 16 MiB default — the regime every measured-good config and
-#: every chooser budget in this module was tuned in.  The fused-block
-#: kernels raise theirs to 100 MiB per-call on this same chip
-#: (fused_mlp.py: v5e has 128 MiB physical VMEM; 16 MiB is just the
-#: default scoped budget), so headroom exists — but raising it here is
-#: only done on the strength of measurement
-#: (scripts/r4_flash_vmem_limit_ab.py), never to paper over a chooser
-#: bug: a config that overflows 16 MiB has logits temporaries too big
-#: to double-buffer well, and may be slower than its demoted sibling.
-_VMEM_LIMIT: Optional[int] = None
+#: Scoped-VMEM limit for the flash pallas_calls.  Mosaic's default is
+#: 16 MiB; v5e has 128 MiB physical VMEM and the fused-block kernels
+#: (fused_mlp.py etc.) already run at 100 MiB per-call on the same
+#: chip.  Raised here on the strength of measurement
+#: (results/r4_flash_vmem_limit_ab.json): the raise alone is -8.3% on
+#: the measured-good bf16 N=4096 forward (deeper double-buffering) and
+#: unlocks the one-pass fused backward to N=8192.  ``None`` restores
+#: the 16 MiB default — the regime the `_fwd_block_q_cap` demotion
+#: budget was tuned in; that cap is KEPT even at 100 MiB because the
+#: demoted fp32 config measured as fast as the undemoted one (4.077 vs
+#: 4.136 ms — a config that overflows 16 MiB has logits temporaries
+#: too big to double-buffer well).
+_VMEM_LIMIT: Optional[int] = 100 * 2 ** 20
 
 
 def _compiler_kwargs() -> dict:
@@ -652,6 +660,18 @@ def _auto_block_k(n: int) -> int:
     return n_pad if n_pad <= _SINGLE_KSTEP_MAX else 1024
 
 
+#: Live-pair budget for `_fwd_block_q_cap` (bytes).  15 MiB is the
+#: measured compile boundary at Mosaic's 16 MiB default scoped-VMEM
+#: limit (see the docstring below).  With `_VMEM_LIMIT` raised to
+#: 100 MiB the cap is no longer a compile necessity but stays as the
+#: measured perf optimum: the over-budget fp32 config was A/B'd a tie
+#: with its demoted sibling (4.136 vs 4.077 ms,
+#: results/r4_flash_vmem_limit_ab.json), and larger-than-cap tiles
+#: were probed and lost (scripts/r4_flash_fwd_retune_100m.py).
+#: Module-level so experiments can probe past it without editing code.
+_FWD_PAIR_BUDGET = 15 * 2 ** 20
+
+
 def _fwd_block_q_cap(block_q: int, block_k: int, dtype) -> int:
     """Demote the forward q tile while its modeled VMEM live window
     exceeds the 16 MB scoped budget.
@@ -681,13 +701,35 @@ def _fwd_block_q_cap(block_q: int, block_k: int, dtype) -> int:
     """
     per_elem = 4 + min(jnp.dtype(dtype).itemsize, 4)
     bq = block_q
-    while bq > 128 and per_elem * bq * block_k > 15 * 2**20:
+    while bq > 128 and per_elem * bq * block_k > _FWD_PAIR_BUDGET:
         bq //= 2
     return bq
 
 
 def _use_streaming_bwd(n: int) -> bool:
     return _round_up(n, 128) > _FUSED_BWD_MAX
+
+
+def _fused_bwd_block_q(nq: int, nk: int) -> int:
+    """q-tile for the one-pass fused backward, measured on v5e at the
+    100 MiB `_VMEM_LIMIT` (results/r4_flash_vmem_limit_ab.json and the
+    band sweep in results/r4_fused_bwd_band_ab.json): bq=512 wins at
+    n_pad >= 4096 (6.77-6.92 ms vs 7.3-7.7 streaming; bq=256 is the
+    worst of the three — Mosaic's scheduling, not op count).  The
+    <=2048 band keeps the round-1 bq=128 optimum: at N=2048 bq=512
+    measured a statistical whisker ahead (3.242 vs 3.392 ms) but at
+    N=1024 it is a 7x CLIFF (16.1 vs 2.2 ms), so the band stays on the
+    safe tile; <=512 runs one padded tile.  Do not extend past 8192:
+    at 16k fused bq=256 is a 2x loss (25.7 vs 13.0 streaming) and
+    bq=512's logits temporaries overflow even the raised limit
+    (compile failure)."""
+    n = max(nq, nk)
+    if n <= 512:
+        return _round_up(nq, 16)
+    if _round_up(n, 128) <= 2048:
+        return min(128, _round_up(nq, 16))
+    # don't pad a short cross-attention q side up to the long-N tile
+    return min(512, _round_up(nq, 16))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -759,20 +801,14 @@ def _fa_bwd(scale, block_q, block_k, block_h, interpret, res, g):
         return _streaming_bwd(q, k, v, out, g, lse, s,
                               block_q=bq, block_k=bk,
                               interpret=interpret)
+    auto_bq = _fused_bwd_block_q(q.shape[1], k.shape[1])
     if block_q is not None:
-        # Fused bwd holds ~5 (block_q, n_pad) fp32 temporaries: an
-        # explicit fwd-legal block_q can exceed scoped VMEM here, so
-        # cap past the measured 128 limit (comment below).
-        n_big = max(q.shape[1], k.shape[1]) > 512
-        bq = min(block_q, 128) if n_big else block_q
-    elif max(q.shape[1], k.shape[1]) <= 512:
-        bq = _auto_block_q(q.shape[1])
+        # An explicit fwd-legal block_q can exceed the fused backward's
+        # VMEM envelope (~5-10 live (block_q, n_pad) fp32 temporaries),
+        # so cap at the measured-good size for this length band.
+        bq = min(block_q, auto_bq)
     else:
-        # Fused bwd holds ~5 (block_q, n_pad) fp32 temporaries; 128 is
-        # the largest q tile that fits scoped VMEM up to n_pad=2048
-        # (and the config the round-1 12%-over-XLA number was measured
-        # at, RESULTS.md).
-        bq = 128
+        bq = auto_bq
     return _fused_bwd(q, k, v, g, s, block_q=bq, interpret=interpret)
 
 

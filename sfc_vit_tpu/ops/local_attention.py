@@ -34,6 +34,25 @@ from .kernel_utils import LANES as _LANES, NEG_INF as _NEG_INF, \
 
 __all__ = ["local_block_attention", "local_block_attention_xla"]
 
+#: Scoped-VMEM limit for the local-attention pallas_calls.  ``None`` =
+#: Mosaic's 16 MiB default.  Unlike flash_attention (100 MiB default
+#: since r4: big logits tiles double-buffer deeper), these kernels work
+#: on window-sized (block, (2*halo+1)*block) tiles that sit far under
+#: the default budget — a raise was A/B'd on-chip and measured a tie
+#: within run variance (scripts/r4_local_vmem_ab.py), so the default
+#: stays.  Module-level so experiments can flip it without editing code.
+_VMEM_LIMIT: Optional[int] = None
+
+
+def _compiler_kwargs() -> dict:
+    if _VMEM_LIMIT is None:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        )
+    }
+
 
 def local_block_attention_xla(
     q: jnp.ndarray,
@@ -149,6 +168,7 @@ def _local_fwd(q, k, v, block, halo, scale, return_lse=False,
             _kernel, scale=scale, n_actual=n, block=block, halo=halo,
             with_lse=return_lse,
         ),
+        **_compiler_kwargs(),
         grid=(bh, n_blocks),
         in_specs=[
             pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0),
@@ -319,6 +339,7 @@ def _local_bwd(q, k, v, o, g, lse, block, halo, scale, interpret=False):
         functools.partial(
             _bwd_kernel, scale=scale, n_actual=n, block=block, halo=halo
         ),
+        **_compiler_kwargs(),
         grid=(bh, n_blocks),
         in_specs=(
             views(d_spec) + views(d_spec) + views(d_spec)

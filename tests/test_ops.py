@@ -589,29 +589,41 @@ def test_saved_lse_padding_covers_streaming_bwd():
     term) honest."""
     from sfc_vit_tpu.ops.flash_attention import _use_streaming_bwd
 
+    from sfc_vit_tpu.ops.flash_attention import _FUSED_BWD_MAX
+
+    lo = _FUSED_BWD_MAX  # streaming regime starts one past this
+    checked = 0
     for dtype in (jnp.float32, jnp.bfloat16):
-        # self-attention, auto blocks
-        for n in range(2049, 8193):
+        # self-attention, auto blocks — the whole first streaming
+        # octave plus the demotion-sensitive fp32 boundary band
+        for n in range(lo + 1, 2 * lo + 1):
             if not _use_streaming_bwd(n):
                 continue
             n_pad_fwd, n_pad_bwd = _lse_paddings(n, n, dtype)
             assert n_pad_bwd <= n_pad_fwd, (n, jnp.dtype(dtype).name)
+            checked += 1
         # cross-attention: q length and K/V length independent (the
-        # Ulysses sequence-parallel Q-slice x gathered-K/V step)
+        # Ulysses sequence-parallel Q-slice x gathered-K/V step) —
+        # a long K/V side drives the cap while the q padding
+        # granularity shrinks
         for nq in range(2049, 4608, 37):
-            for nk in (3841, 3968, 4000, 4096, 5120, 8192):
+            for nk in (lo + 1, lo + 128, 12288, 15872, 16000, 16384):
                 if not _use_streaming_bwd(max(nq, nk)):
                     continue
                 n_pad_fwd, n_pad_bwd = _lse_paddings(nq, nk, dtype)
                 assert n_pad_bwd <= n_pad_fwd, (
                     nq, nk, jnp.dtype(dtype).name
                 )
+                checked += 1
         # explicit block_q (user-specified, incl. non-power-of-two)
         for bq in (256, 320, 512, 640, 1024):
-            for nq in (2049, 2176, 4096, 6000):
+            for nq in (lo + 1, lo + 128, 12288, 15000):
                 n_pad_fwd, n_pad_bwd = _lse_paddings(
-                    nq, 4096, dtype, block_q=bq
+                    nq, 16384, dtype, block_q=bq
                 )
                 assert n_pad_bwd <= n_pad_fwd, (
                     bq, nq, jnp.dtype(dtype).name
                 )
+                checked += 1
+    # guard against the sweep going vacuous if the boundary moves again
+    assert checked > 1000, checked

@@ -107,14 +107,19 @@ def test_flagship_train_step_on_chip():
 
 
 def test_streaming_flash_long_context_on_chip():
-    """K-streaming forward + streaming backward at 8k tokens (past the
-    fused-bwd crossover) compile with Mosaic and match the math."""
+    """K-streaming forward + streaming backward at 12k tokens (past the
+    fused-bwd crossover, 8192 since the 100 MiB VMEM raise) compile
+    with Mosaic and match the math."""
     import jax
 
-    from sfc_vit_tpu.ops.flash_attention import flash_attention
+    from sfc_vit_tpu.ops.flash_attention import (
+        _FUSED_BWD_MAX,
+        flash_attention,
+    )
 
     rng = np.random.default_rng(2)
-    n = 8192
+    n = 12288
+    assert n > _FUSED_BWD_MAX  # keep this the STREAMING regime
     q, k, v = (
         jnp.asarray(rng.standard_normal((1, n, 2, 64)) * 0.5,
                     dtype=jnp.bfloat16)
@@ -132,6 +137,43 @@ def test_streaming_flash_long_context_on_chip():
     a = np.asarray(flash_attention(q, k, v), np.float32)
     b = np.asarray(flash_attention(q, k, v, None, 512, 2048), np.float32)
     assert np.abs(a - b).max() < 3e-2
+
+
+def test_fused_bwd_band_on_chip():
+    """The one-pass fused backward now owns the 2k-8k band (100 MiB
+    scoped-VMEM raise, results/r4_flash_vmem_limit_ab.json): its grads
+    at N=4096 must match the streaming pair it replaced."""
+    import jax
+
+    import sfc_vit_tpu.ops.flash_attention as fa
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    assert not fa._use_streaming_bwd(n)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, n, 2, 64)) * 0.5,
+                    dtype=jnp.bfloat16)
+        for _ in range(3)
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    # lower the boundary to route the SAME call through the streaming
+    # pair (grad() retraces, so the module global is read fresh)
+    orig = fa._FUSED_BWD_MAX
+    fa._FUSED_BWD_MAX = 2048
+    try:
+        g_stream = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa._FUSED_BWD_MAX = orig
+    for a, b in zip(g_fused, g_stream):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+        assert rel < 5e-3, rel
 
 
 def test_local_attention_windowed_bwd_on_chip():
