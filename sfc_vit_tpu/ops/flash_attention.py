@@ -65,6 +65,10 @@ __all__ = [
 # even the raised budget (16 MiB per tile at bq=512/N=16k).
 _FUSED_BWD_MAX = 8192
 # Streaming forward: single K step (full-KV data movement) up to here.
+# Re-confirmed at the 100 MiB limit (results/r4_flash_fwd_retune_100m
+# .json): past 4k the bk=1024 streaming forward beats bk=2048/4096 and
+# the single-K-step at both 8k (9.79 vs 10.0-10.4 ms) and 16k (5.54 vs
+# 5.88-5.91) — bigger K chunks don't pay even with VMEM headroom.
 _SINGLE_KSTEP_MAX = 4096
 #: Scoped-VMEM limit for the flash pallas_calls.  Mosaic's default is
 #: 16 MiB; v5e has 128 MiB physical VMEM and the fused-block kernels
@@ -630,13 +634,24 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
 
 
 def _auto_block_q(n: int) -> int:
-    """Measured on v5e (RESULTS.md): larger q-tiles win at long
-    sequences (4.47 vs 4.72 ms at N=4096 for 512 vs 128).  Short
-    sequences use one q block padded to the 16-sublane bf16 tile
-    (196 -> 208, vs XLA's 256 MXU padding)."""
+    """Measured on v5e: bq=512 wins at every length past 512 under the
+    100 MiB `_VMEM_LIMIT` (results/r4_flash_fwd_retune_100m.json —
+    N=1024: 1.71 vs 1.83 ms for 512 vs the old 128; N=2048: 2.11 vs
+    2.24; N=4096: 4.47 vs 4.72 from the round-2 sweep; bq=1024 probes
+    lost at 4k and only tied whole-N at 1k).  The old ``128 below
+    2048`` band was a 16 MiB-era optimum.  Non-power-of-two lengths
+    take the largest tile that divides the 128-padded length so the
+    bigger tile never buys extra padded rows (the 512-vs-128 win is
+    ~6%; 17% extra padding would swamp it).  Short sequences use one
+    q block padded to the 16-sublane bf16 tile (196 -> 208, vs XLA's
+    256 MXU padding)."""
     if n <= 512:
         return _round_up(n, 16)
-    return 512 if n >= 2048 else 128
+    n_pad = _round_up(n, 128)
+    for bq in (512, 256, 128):
+        if n_pad % bq == 0:
+            return bq
+    return 128
 
 
 def _auto_block_h(n: int, h: int) -> int:

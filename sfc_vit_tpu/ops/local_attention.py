@@ -38,9 +38,12 @@ __all__ = ["local_block_attention", "local_block_attention_xla"]
 #: Mosaic's 16 MiB default.  Unlike flash_attention (100 MiB default
 #: since r4: big logits tiles double-buffer deeper), these kernels work
 #: on window-sized (block, (2*halo+1)*block) tiles that sit far under
-#: the default budget — a raise was A/B'd on-chip and measured a tie
-#: within run variance (scripts/r4_local_vmem_ab.py), so the default
-#: stays.  Module-level so experiments can flip it without editing code.
+#: the default budget — a 100 MiB raise was A/B'd on-chip and LOST on
+#: the backward (4.38 vs 4.05 ms at N=4096/block 256, +8%; forward
+#: 2.29 vs 2.25, noise) (results/r4_local_vmem_ab.json): with many
+#: small per-block views, the bigger budget lets Mosaic over-buffer.
+#: Do not raise without re-measuring.  Module-level so experiments can
+#: flip it without editing code.
 _VMEM_LIMIT: Optional[int] = None
 
 
