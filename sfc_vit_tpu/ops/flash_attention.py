@@ -85,12 +85,23 @@ _SINGLE_KSTEP_MAX = 4096
 _VMEM_LIMIT: Optional[int] = 100 * 2 ** 20
 
 
-def _compiler_kwargs() -> dict:
-    if _VMEM_LIMIT is None:
+#: Separate scoped-VMEM limit for the STREAMING backward pair (the
+#: >8k regime).  The 100 MiB raise that wins on the forward and fused
+#: backward was A/B'd here and measured a TIE at both 16k and 32k
+#: (results/r4_stream_bwd_vmem_ab.json: 16.47/31.17 ms at 16 MiB vs
+#: 16.78/31.47 at 100 MiB — the ~2% edge for the default is inside the
+#: 3% noise floor): the pair's small fixed (512, 1024) tiles already
+#: double-buffer fully at 16 MiB.  ``None`` = Mosaic's 16 MiB default.
+_VMEM_LIMIT_STREAM_BWD: Optional[int] = None
+
+
+def _compiler_kwargs(limit: Optional[int] = -1) -> dict:
+    lim = _VMEM_LIMIT if limit == -1 else limit
+    if lim is None:
         return {}
     return {
         "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
+            vmem_limit_bytes=lim
         )
     }
 
@@ -562,7 +573,7 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, n_actual=nk,
                           block_k=block_k),
-        **_compiler_kwargs(),
+        **_compiler_kwargs(_VMEM_LIMIT_STREAM_BWD),
         grid=(bh, n_pad_q // block_q, n_pad_k // block_k),
         in_specs=[
             q_tile(lambda i, j, kk: (i, j, 0)),
@@ -586,7 +597,7 @@ def _streaming_bwd(q, k, v, o, g, lse, scale, block_q=256, block_k=1024,
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, n_actual=nk,
                           block_k=block_k),
-        **_compiler_kwargs(),
+        **_compiler_kwargs(_VMEM_LIMIT_STREAM_BWD),
         grid=(bh, n_pad_k // block_k, n_pad_q // block_q),
         in_specs=[
             k_tile(lambda i, kk, j: (i, kk, 0)),
@@ -808,7 +819,14 @@ def _fa_bwd(scale, block_q, block_k, block_h, interpret, res, g):
         # cap only when 512 divides the fwd block: then the bwd padding
         # is <= the fwd padding the saved LSE rows cover
         bq = 512 if bq_fwd > 512 and bq_fwd % 512 == 0 else bq_fwd
-        bk = min(block_k or 1024, 1024)
+        # bk=2048 measured fastest for the pair at 16k AND 32k (12.38
+        # vs 12.82, 22.43 vs 23.42 ms — results/r4_stream_bwd_blocks
+        # .json; bq 256/128 are 14-67% losses) but only take it when
+        # it adds no K padding over the 1024 tile (the ~4% win would
+        # be swamped by up-to-11% padded K rows at awkward lengths).
+        nk_pad = _round_up(k.shape[1], 1024)
+        bk_auto = 2048 if nk_pad % 2048 == 0 else 1024
+        bk = min(block_k or bk_auto, bk_auto)
         n_pad_bwd = _round_up(q.shape[1], bq)
         lse = jnp.broadcast_to(
             lse[:, :n_pad_bwd], (lse.shape[0], n_pad_bwd, _LANES)

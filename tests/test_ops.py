@@ -553,6 +553,28 @@ def test_flash_fwd_block_q_cap_vmem_window():
     assert rel < 2e-5, rel
 
 
+def test_auto_block_q_never_buys_extra_padding():
+    """The retuned forward q-tile chooser (bq=512 past 512 tokens,
+    results/r4_flash_fwd_retune_100m.json) must only pick a tile that
+    divides the 128-padded length: the ~6% tile win would be swamped
+    by padded rows otherwise."""
+    from sfc_vit_tpu.ops.flash_attention import _auto_block_q
+    from sfc_vit_tpu.ops.kernel_utils import round_up
+
+    # measured geometries pin the retune winners
+    assert _auto_block_q(1024) == 512
+    assert _auto_block_q(2048) == 512
+    assert _auto_block_q(4096) == 512
+    # non-power-of-two lengths: largest divisor tile, zero extra rows
+    assert _auto_block_q(768) == 256
+    assert _auto_block_q(1536) == 512
+    assert _auto_block_q(640) == 128
+    assert _auto_block_q(2100) == 128
+    for n in range(513, 8193, 29):
+        bq = _auto_block_q(n)
+        assert round_up(n, bq) == round_up(n, 128), (n, bq)
+
+
 def _lse_paddings(nq, nk, dtype, block_q=None, block_k=None):
     """Mirror the fwd/bwd padding computations of `_fa_fwd`/`_fa_bwd`
     exactly: fwd pads the saved LSE by the CAPPED q block; bwd (post

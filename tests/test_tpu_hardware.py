@@ -137,6 +137,21 @@ def test_streaming_flash_long_context_on_chip():
     a = np.asarray(flash_attention(q, k, v), np.float32)
     b = np.asarray(flash_attention(q, k, v, None, 512, 2048), np.float32)
     assert np.abs(a - b).max() < 3e-2
+    # streaming-backward block consistency: at 12288 the auto chooser
+    # takes bk=2048 (12288 % 2048 == 0, results/r4_stream_bwd_blocks
+    # .json); pin its grads against the bk=1024 grid it replaced
+    def loss_bk1024(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, None, None, 1024)
+            .astype(jnp.float32) ** 2
+        )
+
+    grads_1024 = jax.grad(loss_bk1024, argnums=(0, 1, 2))(q, k, v)
+    for ga, gb in zip(grads, grads_1024):
+        ga = np.asarray(ga, np.float32)
+        gb = np.asarray(gb, np.float32)
+        rel = np.linalg.norm(ga - gb) / (np.linalg.norm(gb) + 1e-9)
+        assert rel < 5e-3, rel
 
 
 def test_fused_bwd_band_on_chip():
