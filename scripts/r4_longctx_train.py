@@ -99,8 +99,8 @@ def main():
                     return (st, metrics["loss"]), None
 
                 c, _ = lax.scan(
-                    body, (state, jnp.zeros((), jnp.float32)), None,
-                    length=length,
+                    body, (state, jnp.zeros((), jnp.float32)),
+                    jnp.arange(length),
                 )
                 return c[1]
 

@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the Pallas fused gather+GEMM tokenizer")
     m.add_argument("--attn-impl", default="auto",
                    choices=["auto", "xla", "xla_bf16", "pallas", "local", "ring", "sp"])
+    m.add_argument("--merge-layers", type=int, nargs="+", default=[],
+                   help="curve-pair token merging after these layers "
+                        "(model curvevit; measured winner for >=1k "
+                        "tokens: --merge-layers 1 --merge-ratio 0.5)")
+    m.add_argument("--merge-ratio", type=float, default=0.5,
+                   help="fraction of curve-adjacent token pairs merged "
+                        "at each merge layer")
 
     t = p.add_argument_group("training")
     t.add_argument("--epochs", type=int, default=300)
@@ -193,6 +200,7 @@ def main(argv=None) -> dict:
         mlp_dim=args.mlp_dim, num_classes=train_ds.num_classes,
         posemb=args.posemb, remat=args.remat, fused=args.fused_tokenizer,
         dtype=args.dtype, attn_impl=args.attn_impl,
+        merge_layers=tuple(args.merge_layers), merge_ratio=args.merge_ratio,
     )
     model = build_model(mcfg)
 

@@ -52,6 +52,13 @@ class ModelConfig:
     fused: bool = False           # Pallas fused gather+GEMM tokenizers
     dtype: Optional[str] = None   # e.g. "bfloat16"
     attn_impl: str = "auto"
+    #: curve-pair token merging (model 'curvevit' only): merge after
+    #: these 1-based layer indices.  Measured recommendation
+    #: (results/r4_token_merge_ab.json): (1,) at ratio 0.5 for
+    #: >=1k-token models — +23.1% img/s at 4k / +11.0% at 1k, zero
+    #: accuracy cost; merging late never pays.
+    merge_layers: Sequence[int] = ()
+    merge_ratio: float = 0.5
 
     def jax_dtype(self):
         import jax.numpy as jnp
@@ -75,6 +82,15 @@ PRESETS = {
                      embed_dim=384, depth=12, n_heads=6, mlp_dim=1536),
     "vit-b-16": dict(model="curvevit", img_size=224, patch_size=16,
                      embed_dim=768, depth=12, n_heads=12, mlp_dim=3072),
+    # long-context operating point: pixel tokenization along the curve
+    # at 128x128 -> 16,384 tokens (the reference's 1D-pixel thesis
+    # geometry scaled up); remat + streaming flash + the measured
+    # token-merge winner (results/r4_token_merge_ab.json,
+    # results/r4_longctx_train.json)
+    "longctx-16k": dict(model="curvevit", curve="hilbert", img_size=128,
+                        patch_size=1, embed_dim=384, depth=4, n_heads=6,
+                        mlp_dim=1536, remat=True, dtype="bfloat16",
+                        merge_layers=(1,), merge_ratio=0.5),
 }
 
 
@@ -139,6 +155,12 @@ def build_model(cfg: ModelConfig):
                 f"model {cfg.model!r} has no fused-tokenizer path; "
                 "drop fused=True (it would be silently ignored)"
             )
+    if cfg.merge_layers and cfg.model != "curvevit":
+        raise ValueError(
+            f"merge_layers is curve-pair token merging, implemented by "
+            f"model 'curvevit' only (ops/token_merge.py) -- model "
+            f"{cfg.model!r} would silently ignore it"
+        )
     if cfg.model in ("simple", "curvevit", "hier") and cfg.posemb != "none":
         raise ValueError(
             f"model {cfg.model!r} manages its own positional encoding "
@@ -160,6 +182,8 @@ def build_model(cfg: ModelConfig):
             heads=cfg.n_heads, mlp_dim=cfg.mlp_dim, dim_head=cfg.dim_head,
             curve=cfg.curve, remat=cfg.remat, dtype=dtype,
             attn_impl=cfg.attn_impl,
+            merge_layers=tuple(cfg.merge_layers),
+            merge_ratio=cfg.merge_ratio,
         )
     if cfg.model == "vit":
         return VisionTransformer(

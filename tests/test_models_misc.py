@@ -68,6 +68,26 @@ def test_registry_error_paths():
         build_model(ModelConfig(model="nope"))
     with pytest.raises(ValueError, match="requires tokenizer"):
         build_model(ModelConfig(model="hier", tokenizer="1d"))
+    with pytest.raises(ValueError, match="curvevit"):
+        build_model(ModelConfig(model="vit1d", merge_layers=(1,)))
+
+
+def test_longctx_preset_builds_and_runs():
+    """The longctx-16k preset wires remat + token merge through the
+    registry into CurveViT; exercised at a shrunken geometry (16x16 ->
+    256 tokens) so the CPU suite stays fast."""
+    from sfc_vit_tpu.registry import preset_config
+
+    cfg = preset_config("longctx-16k")
+    assert cfg.img_size == 128 and cfg.patch_size == 1
+    assert cfg.remat and cfg.merge_layers == (1,)
+
+    m = build_model(preset_config("longctx-16k", img_size=16))
+    assert m.merge_layers == (1,) and m.merge_ratio == 0.5 and m.remat
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    y = m.apply(m.init(jax.random.key(0), x), x)
+    assert y.shape == (2, 10)
+    assert np.isfinite(np.asarray(y, np.float32)).all()
 
 
 def test_trainer_min_lr_schedule(tmp_path):
