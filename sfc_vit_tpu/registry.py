@@ -84,12 +84,15 @@ PRESETS = {
                      embed_dim=768, depth=12, n_heads=12, mlp_dim=3072),
     # long-context operating point: pixel tokenization along the curve
     # at 128x128 -> 16,384 tokens (the reference's 1D-pixel thesis
-    # geometry scaled up); remat + streaming flash + the measured
-    # token-merge winner (results/r4_token_merge_ab.json,
-    # results/r4_longctx_train.json)
+    # geometry scaled up); streaming flash + the measured token-merge
+    # winner (results/r4_token_merge_ab.json,
+    # results/r4_longctx_train.json).  remat measured a flat 21-27%
+    # training LOSS at batch <= 8 (results/r4_longctx_tune.json: the
+    # recomputed attention forwards, with activations nowhere near
+    # HBM) — turn it on only when a bigger batch/depth actually OOMs.
     "longctx-16k": dict(model="curvevit", curve="hilbert", img_size=128,
                         patch_size=1, embed_dim=384, depth=4, n_heads=6,
-                        mlp_dim=1536, remat=True, dtype="bfloat16",
+                        mlp_dim=1536, dtype="bfloat16",
                         merge_layers=(1,), merge_ratio=0.5),
 }
 

@@ -80,9 +80,12 @@ def test_longctx_preset_builds_and_runs():
 
     cfg = preset_config("longctx-16k")
     assert cfg.img_size == 128 and cfg.patch_size == 1
-    assert cfg.remat and cfg.merge_layers == (1,)
+    # remat measured a 21-27% training loss at this geometry for
+    # batch <= 8 (results/r4_longctx_tune.json) -> off by default
+    assert not cfg.remat and cfg.merge_layers == (1,)
 
-    m = build_model(preset_config("longctx-16k", img_size=16))
+    m = build_model(preset_config("longctx-16k", img_size=16,
+                                  remat=True))
     assert m.merge_layers == (1,) and m.merge_ratio == 0.5 and m.remat
     x = jnp.zeros((2, 16, 16, 3), jnp.float32)
     y = m.apply(m.init(jax.random.key(0), x), x)
