@@ -20,6 +20,23 @@ import argparse
 
 import numpy as np
 
+_ATTN_IMPLS = ("auto", "xla", "xla_bf16", "pallas", "local", "ring", "sp")
+
+
+def _parse_attn_impl(s: str):
+    """'auto' -> 'auto'; 'local,local,auto' -> ('local','local','auto').
+
+    A comma-separated value is a per-layer schedule (family-B models;
+    length is validated against depth at model build time)."""
+    parts = tuple(p.strip() for p in s.split(","))
+    bad = [p for p in parts if p not in _ATTN_IMPLS]
+    if bad:
+        raise argparse.ArgumentTypeError(
+            f"unknown attention implementation(s) {bad}; "
+            f"choose from {_ATTN_IMPLS}"
+        )
+    return parts[0] if len(parts) == 1 else parts
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -64,8 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize encoder layers (memory for FLOPs)")
     m.add_argument("--fused-tokenizer", action="store_true",
                    help="use the Pallas fused gather+GEMM tokenizer")
-    m.add_argument("--attn-impl", default="auto",
-                   choices=["auto", "xla", "xla_bf16", "pallas", "local", "ring", "sp"])
+    m.add_argument("--attn-impl", default="auto", type=_parse_attn_impl,
+                   help="attention implementation: one of auto|xla|"
+                        "xla_bf16|pallas|local|ring|sp for every layer, "
+                        "or a comma-separated per-layer schedule of "
+                        "length --depth (family-B models), e.g. "
+                        "'local,local,local,auto' for a hybrid "
+                        "local/global long-context stack")
     m.add_argument("--merge-layers", type=int, nargs="+", default=[],
                    help="curve-pair token merging after these layers "
                         "(model curvevit; measured winner for >=1k "
@@ -227,7 +249,13 @@ def main(argv=None) -> dict:
         tensorboard=args.tensorboard,
         # ring/sp attention needs the ambient sequence_sharding context
         # at trace time or it silently degrades to local XLA attention
-        sequence_parallel=args.attn_impl in ("ring", "sp"),
+        # (attn_impl may be a per-layer schedule tuple — any ring/sp
+        # layer needs the context)
+        sequence_parallel=any(
+            i in ("ring", "sp")
+            for i in ((args.attn_impl,) if isinstance(args.attn_impl, str)
+                      else args.attn_impl)
+        ),
     )
     trainer = Trainer(
         model, tcfg, steps_per_epoch=steps,

@@ -9,7 +9,7 @@ where the reference hard-codes Hilbert.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -99,6 +99,36 @@ def _fused_attn_gate(attn_impl: str, n: int, d: int, inner: int,
         return False
     return fused_attention_block_fits(n, d, inner,
                                       jnp.dtype(dtype).itemsize)
+
+
+def _impl_schedule(attn_impl: Union[str, Sequence[str]],
+                   depth: int) -> Tuple[str, ...]:
+    """Normalize ``attn_impl`` to a per-layer tuple of length ``depth``.
+
+    A single string applies to every layer (the common case).  A
+    sequence is a per-layer schedule — the long-context motivation is
+    hybrid local/global stacks: the relational control study
+    (``results/local_attention_relational.json``) proved pure
+    curve-local attention cannot route information between distant
+    curve sites (it sits at chance on a two-site relation for the full
+    run), while pure global flash costs 5.7x the step time at 16k
+    tokens (``results/r4_longctx_tune.json``).  A schedule like
+    ``('local','local','local','auto')`` keeps most of the local
+    speedup while the sparse global layers restore cross-site routing
+    (the Longformer/BigBird recipe, curve-native).
+    """
+    if isinstance(attn_impl, str):
+        return (attn_impl,) * depth
+    impls = tuple(attn_impl)
+    if len(impls) != depth:
+        raise ValueError(
+            f"attn_impl schedule has {len(impls)} entries for depth "
+            f"{depth}; give one implementation per layer (or a single "
+            "string for all layers)"
+        )
+    if not all(isinstance(i, str) for i in impls):
+        raise TypeError(f"attn_impl schedule must be strings, got {impls!r}")
+    return impls
 
 
 class _PreNormAttention(nn.Module):
@@ -337,7 +367,10 @@ class PreNormTransformer(nn.Module):
     merge_ratio: float = 0.5
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
     dtype: Optional[jnp.dtype] = None
-    attn_impl: str = "auto"
+    #: one implementation for every layer, or a per-layer tuple of
+    #: length ``depth`` (hybrid local/global schedules — see
+    #: :func:`_impl_schedule` for the measured motivation)
+    attn_impl: Union[str, Tuple[str, ...]] = "auto"
     # final_norm=False runs the stack WITHOUT the closing LayerNorm —
     # used by pipeline parallelism, where the depth split into stages
     # must be norm-free (the final LN is applied once, after the last
@@ -362,12 +395,16 @@ class PreNormTransformer(nn.Module):
         n_pad = _round_up(n, 16)
         inner = self.heads * self.dim_head
         dt = self.dtype or x.dtype
+        impls = _impl_schedule(self.attn_impl, self.depth)
         pad_once = (
             n_pad != n
             and not self.pool_layers
             and not self.merge_layers
             and not self.is_mutable_collection("intermediates")
-            and _fused_attn_gate(self.attn_impl, n, self.dim, inner, dt)
+            # a mixed schedule routes some layers off the fused kernel,
+            # and those paths don't thread n_actual — stay unpadded
+            and len(set(impls)) == 1
+            and _fused_attn_gate(impls[0], n, self.dim, inner, dt)
         )
         if pad_once:
             x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -375,7 +412,7 @@ class PreNormTransformer(nn.Module):
         for i in range(self.depth):
             x = attn_cls(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
-                dtype=self.dtype, attn_impl=self.attn_impl,
+                dtype=self.dtype, attn_impl=impls[i],
                 n_actual=n if pad_once else None,
                 name=f"attn_{i}",
             )(x)  # residual added in-module (fused kernel path)
@@ -417,7 +454,7 @@ class SimpleViT(nn.Module):
     dim_head: int = 64
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
-    attn_impl: str = "auto"
+    attn_impl: Union[str, Tuple[str, ...]] = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -467,7 +504,7 @@ class CurveViT(nn.Module):
     merge_ratio: float = 0.5
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
-    attn_impl: str = "auto"
+    attn_impl: Union[str, Tuple[str, ...]] = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:

@@ -222,10 +222,24 @@ def make_pipelined_apply(
         )
     from ..models.simple_vit import PreNormTransformer
 
+    attn_impl = model.attn_impl
+    if not isinstance(attn_impl, str):
+        # every stage reuses ONE stacked stage module, so a per-layer
+        # schedule would need identical per-stage slices; collapse a
+        # uniform tuple, reject a genuinely mixed one
+        uniq = set(attn_impl)
+        if len(uniq) != 1:
+            raise ValueError(
+                "pipeline parallelism stacks identical stages; a mixed "
+                f"per-layer attn_impl schedule {attn_impl!r} "
+                "cannot be split -- use a single implementation"
+            )
+        attn_impl = next(iter(uniq))
+
     stage_mod = PreNormTransformer(
         dim=model.dim, depth=model.depth // n_stages, heads=model.heads,
         dim_head=model.dim_head, mlp_dim=model.mlp_dim,
-        remat=model.remat, dtype=model.dtype, attn_impl=model.attn_impl,
+        remat=model.remat, dtype=model.dtype, attn_impl=attn_impl,
         final_norm=False,
     )
 

@@ -8,7 +8,7 @@ first-class config: ``build_model(ModelConfig(...))`` -> flax module.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 from .curves import CURVE_REGISTRY
 from .models import (
@@ -51,7 +51,12 @@ class ModelConfig:
     remat: bool = False           # jax.checkpoint encoder layers
     fused: bool = False           # Pallas fused gather+GEMM tokenizers
     dtype: Optional[str] = None   # e.g. "bfloat16"
-    attn_impl: str = "auto"
+    #: a single implementation for every layer, or (family B models
+    #: 'simple'/'curvevit' only) a per-layer schedule of length
+    #: ``depth`` — e.g. ``('local','local','local','auto')`` for a
+    #: hybrid local/global long-context stack (see
+    #: models.simple_vit._impl_schedule for the measured motivation)
+    attn_impl: Union[str, Sequence[str]] = "auto"
     #: curve-pair token merging (model 'curvevit' only): merge after
     #: these 1-based layer indices.  Measured recommendation
     #: (results/r4_token_merge_ab.json): (1,) at ratio 0.5 for
@@ -94,6 +99,19 @@ PRESETS = {
                         patch_size=1, embed_dim=384, depth=4, n_heads=6,
                         mlp_dim=1536, dtype="bfloat16",
                         merge_layers=(1,), merge_ratio=0.5),
+    # hybrid local/global schedule at the same geometry: curve-local
+    # windows in 3 of 4 layers (5.7x faster than flash at this length,
+    # results/r4_longctx_tune.json) with one full-attention layer to
+    # restore cross-site routing — the relational control
+    # (results/local_attention_relational.json) proved pure-local
+    # attention is pinned at chance on two-site relations, so any task
+    # with long-range structure needs at least one global layer.
+    "longctx-16k-hybrid": dict(
+        model="curvevit", curve="hilbert", img_size=128, patch_size=1,
+        embed_dim=384, depth=4, n_heads=6, mlp_dim=1536,
+        dtype="bfloat16", merge_layers=(1,), merge_ratio=0.5,
+        attn_impl=("local", "local", "local", "auto"),
+    ),
 }
 
 
@@ -158,6 +176,15 @@ def build_model(cfg: ModelConfig):
                 f"model {cfg.model!r} has no fused-tokenizer path; "
                 "drop fused=True (it would be silently ignored)"
             )
+    attn_impl = (cfg.attn_impl if isinstance(cfg.attn_impl, str)
+                 else tuple(cfg.attn_impl))
+    if not isinstance(attn_impl, str) and cfg.model not in (
+            "simple", "curvevit"):
+        raise ValueError(
+            f"per-layer attn_impl schedules are implemented by the "
+            f"family-B models ('simple'/'curvevit') only -- model "
+            f"{cfg.model!r} takes a single implementation string"
+        )
     if cfg.merge_layers and cfg.model != "curvevit":
         raise ValueError(
             f"merge_layers is curve-pair token merging, implemented by "
@@ -176,7 +203,7 @@ def build_model(cfg: ModelConfig):
             image_size=cfg.img_size, patch_size=cfg.patch_size,
             num_classes=cfg.num_classes, dim=cfg.embed_dim, depth=cfg.depth,
             heads=cfg.n_heads, mlp_dim=cfg.mlp_dim, dim_head=cfg.dim_head,
-            remat=cfg.remat, dtype=dtype, attn_impl=cfg.attn_impl,
+            remat=cfg.remat, dtype=dtype, attn_impl=attn_impl,
         )
     if cfg.model == "curvevit":
         return CurveViT(
@@ -184,7 +211,7 @@ def build_model(cfg: ModelConfig):
             num_classes=cfg.num_classes, dim=cfg.embed_dim, depth=cfg.depth,
             heads=cfg.n_heads, mlp_dim=cfg.mlp_dim, dim_head=cfg.dim_head,
             curve=cfg.curve, remat=cfg.remat, dtype=dtype,
-            attn_impl=cfg.attn_impl,
+            attn_impl=attn_impl,
             merge_layers=tuple(cfg.merge_layers),
             merge_ratio=cfg.merge_ratio,
         )

@@ -258,3 +258,110 @@ def test_attention_capture_4k_tokens():
     rows = attention_rows(st["q"], st["k"], st["lse"], np.asarray([0, 4095]))
     assert rows.shape == (1, 2, 2, 4096)
     np.testing.assert_allclose(np.asarray(rows.sum(-1)), 1.0, rtol=1e-4)
+
+
+# --- per-layer attention schedules (hybrid local/global stacks) -----
+
+
+def _curvevit(attn_impl, depth=2, img=16, patch=2):
+    return models.CurveViT(
+        image_size=img, patch_size=patch, num_classes=4, dim=32,
+        depth=depth, heads=2, dim_head=16, mlp_dim=32, curve="hilbert",
+        attn_impl=attn_impl,
+    )
+
+
+def test_attn_schedule_uniform_matches_string():
+    """A schedule of identical entries is the same function as the
+    plain string (same param tree, bitwise-equal outputs)."""
+    x = _x(hw=16)
+    m_str = _curvevit("xla")
+    m_sched = _curvevit(("xla", "xla"))
+    params = m_str.init(jax.random.key(0), x)
+    y1 = m_str.apply(params, x)
+    y2 = m_sched.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_attn_schedule_hybrid_local_global():
+    """The hybrid motivation (results/local_attention_relational.json):
+    a ('local','xla') stack computes a different function from both the
+    pure-local and the pure-global stack at a length where the window
+    actually masks (1,024 tokens, block 128, halo 1), and it trains
+    (finite grads through both layer kinds)."""
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 32, 32, 3)),
+        jnp.float32,
+    )  # patch 1 -> 1,024 tokens: |block(q)-block(k)| > 1 exists
+    hybrid = _curvevit(("local", "xla"), img=32, patch=1)
+    local = _curvevit(("local", "local"), img=32, patch=1)
+    dense = _curvevit(("xla", "xla"), img=32, patch=1)
+    params = hybrid.init(jax.random.key(0), x)
+    yh = np.asarray(hybrid.apply(params, x))
+    yl = np.asarray(local.apply(params, x))
+    yd = np.asarray(dense.apply(params, x))
+    assert np.isfinite(yh).all()
+    assert np.abs(yh - yl).max() > 1e-6  # global layer really global
+    assert np.abs(yh - yd).max() > 1e-6  # local layer really windowed
+
+    def loss(p):
+        return hybrid.apply(p, x).sum()
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in flat)
+
+
+def test_attn_schedule_validation():
+    from sfc_vit_tpu.models.simple_vit import _impl_schedule
+
+    assert _impl_schedule("auto", 3) == ("auto",) * 3
+    assert _impl_schedule(["local", "auto"], 2) == ("local", "auto")
+    with pytest.raises(ValueError, match="one implementation per layer"):
+        _impl_schedule(("local",), 2)
+    x = _x(hw=16)
+    with pytest.raises(ValueError, match="per layer"):
+        _curvevit(("xla",), depth=2).init(jax.random.key(0), x)
+    # family A takes a single string only
+    with pytest.raises(ValueError, match="family-B"):
+        build_model(ModelConfig(model="vit1d", attn_impl=("xla", "xla"),
+                                depth=2))
+
+
+def test_attn_schedule_cli_parse():
+    import argparse
+
+    from sfc_vit_tpu.cli import _parse_attn_impl
+
+    assert _parse_attn_impl("auto") == "auto"
+    assert _parse_attn_impl("local,local,auto") == ("local", "local", "auto")
+    assert _parse_attn_impl(" local , auto ") == ("local", "auto")
+    with pytest.raises(argparse.ArgumentTypeError, match="unknown"):
+        _parse_attn_impl("local,nope")
+
+
+def test_attn_schedule_pipeline_guard():
+    from sfc_vit_tpu.parallel import make_mesh
+    from sfc_vit_tpu.parallel.pipeline_model import make_pipelined_apply
+
+    mesh = make_mesh(data=1, pipe=2, devices=jax.devices()[:2])
+    mixed = models.SimpleViT(
+        image_size=16, patch_size=4, num_classes=4, dim=32, depth=2,
+        heads=2, dim_head=16, mlp_dim=32, attn_impl=("local", "xla"),
+    )
+    with pytest.raises(ValueError, match="mixed"):
+        make_pipelined_apply(mixed, mesh, 2, microbatches=1)
+
+
+def test_longctx_hybrid_preset():
+    from sfc_vit_tpu.registry import preset_config
+
+    cfg = preset_config("longctx-16k-hybrid")
+    assert cfg.attn_impl == ("local", "local", "local", "auto")
+    m = build_model(preset_config("longctx-16k-hybrid", img_size=16))
+    assert m.attn_impl == ("local", "local", "local", "auto")
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    y = m.apply(m.init(jax.random.key(0), x), x)
+    assert y.shape == (2, 10)
+    assert np.isfinite(np.asarray(y, np.float32)).all()
