@@ -136,11 +136,16 @@ def main(argv=None):
     results = {}
 
     for impl in args.impls:
+        # 'local,xla' = a per-layer hybrid schedule (one entry per
+        # layer, depth 2 here): the relational control's fix — sparse
+        # global layers restore the cross-site routing pure-local
+        # provably lacks (models/simple_vit._impl_schedule)
+        attn_impl = tuple(impl.split(",")) if "," in impl else impl
         model = CurveViT(
             curve="hilbert", image_size=hw, patch_size=4,
             num_classes=n_classes,
             dim=128, depth=2, heads=4, mlp_dim=256, dim_head=32,
-            attn_impl=impl,
+            attn_impl=attn_impl,
         )
         sched = warmup_cosine(3e-4, spe, total)
         tx = make_optimizer(sched)
