@@ -201,3 +201,28 @@ def test_strip_removes_biases_too():
     got = quantized_apply(m, stripped, table, x)
     want = quantized_apply(m, params, table, x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_schedule_model_serves_and_quantizes():
+    """Hybrid per-layer attention schedules flow through the engine:
+    predict matches direct apply, and int8 weight discovery still
+    reaches every holder (the schedule changes attention dispatch, not
+    the param tree)."""
+    model = SimpleViT(
+        image_size=16, patch_size=4, num_classes=7, dim=64, depth=2,
+        heads=2, mlp_dim=96, dim_head=32, attn_impl=("local", "xla"),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((5, 16, 16, 3)),
+        jnp.float32,
+    )
+    params = model.init({"params": jax.random.key(0)}, x[:1])
+    eng = ServingEngine(model, params, image_shape=(16, 16, 3),
+                        batch_sizes=(5,))
+    want = np.asarray(model.apply(params, x, deterministic=True))
+    np.testing.assert_allclose(eng.predict(x), want, rtol=2e-5, atol=2e-6)
+    quant = ServingEngine(model, params, image_shape=(16, 16, 3),
+                          batch_sizes=(5,), weights="int8")
+    assert quant.weight_bytes() < eng.weight_bytes()
+    rel = np.linalg.norm(quant.predict(x) - want) / np.linalg.norm(want)
+    assert rel < 0.05
