@@ -106,6 +106,11 @@ PRESETS = {
     # (results/local_attention_relational.json) proved pure-local
     # attention is pinned at chance on two-site relations, so any task
     # with long-range structure needs at least one global layer.
+    # Status of the LEARNING claim: architectural capability only so
+    # far — the round-4 depth-2 control (r4_hybrid_relational.json)
+    # did NOT un-pin from chance in 16 epochs; the round-5 relational
+    # study (results/r5_relational_v2.json) adjudicates whether the
+    # sparse global layer delivers the routing in practice.
     "longctx-16k-hybrid": dict(
         model="curvevit", curve="hilbert", img_size=128, patch_size=1,
         embed_dim=384, depth=4, n_heads=6, mlp_dim=1536,
