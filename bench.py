@@ -37,6 +37,38 @@ def _build(curve: str, quick: bool, attn_impl: str, dtype):
     return CurveViT(curve=curve, dtype=dtype, attn_impl=attn_impl, **kw)
 
 
+#: measured single-chip MXU envelope for bf16 GEMMs on this stack
+#: (scripts/mxu_speed_of_light.py, v5e) — the denominator that makes
+#: the headline img/s self-interpreting as an MFU percentage.
+_MXU_ENVELOPE_TFS = 160.5
+
+
+def _model_flops_per_image(quick: bool, train: bool) -> float:
+    """Nominal dense GEMM FLOPs of the benched ViT per image.
+
+    Standard MFU accounting: 2 FLOPs/MAC on the model's *logical*
+    GEMMs (patch embed + per-layer qkv/logits/weighted-sum/out-proj/MLP
+    + head); kernel padding (196→208) and softmax/LN VPU work are
+    excluded, so the reported MFU is conservative.  Training counts the
+    conventional 3× (backward ≈ 2× forward GEMM FLOPs); the optimizer
+    is bandwidth, not FLOPs.
+    """
+    if quick:
+        n, d, f, depth, p, classes = 64, 64, 128, 2, 4, 10
+    else:
+        n, d, f, depth, p, classes = 196, 768, 3072, 12, 16, 1000
+    embed = 2 * n * (p * p * 3) * d
+    per_layer = (
+        2 * n * d * (3 * d)      # qkv projection
+        + 4 * n * n * d          # logits + weighted sum
+        + 2 * n * d * d          # out projection
+        + 2 * 2 * n * d * f      # MLP fc1 + fc2
+    )
+    head = 2 * d * classes
+    fwd = embed + depth * per_layer + head
+    return 3.0 * fwd if train else float(fwd)
+
+
 def _throughput(
     model, params, x, iters: int, apply_fn=None, unroll: int = 4,
     seq_ctx=None,
@@ -286,6 +318,27 @@ def main(argv=None) -> dict:
         "unit": "images/sec/chip",
         "vs_baseline": round(hil / ras, 4),
     }
+    # MFU context (VERDICT r4 item 8): effective TF/s of the nominal
+    # model GEMMs at the measured img/s, as a fraction of the measured
+    # 160.5 TF/s bf16 MXU envelope.  Dense-model accounting — for
+    # --attn-impl local the nominal-FLOP MFU overstates executed work,
+    # so it is emitted for the dense-equivalent impls only.
+    # (--quick is a CPU smoke: the TPU envelope denominator would be
+    # meaningless there, so MFU is emitted for the full config only.)
+    if args.attn_impl in ("auto", "xla", "xla_bf16", "pallas") \
+            and not args.quant and not args.quick:
+        flops = _model_flops_per_image(args.quick, args.train)
+        tfs = hil * flops / 1e12
+        record["tflops_per_sec"] = round(tfs, 1)
+        record["mfu"] = round(tfs / _MXU_ENVELOPE_TFS, 4)
+        print(
+            f"# MFU: {tfs:.1f} TF/s effective = "
+            f"{100 * tfs / _MXU_ENVELOPE_TFS:.1f}% of the "
+            f"{_MXU_ENVELOPE_TFS} TF/s measured bf16 MXU envelope "
+            f"({flops / 1e9:.2f} GFLOP/img nominal, "
+            f"{'train 3x fwd' if args.train else 'fwd'})",
+            file=sys.stderr,
+        )
     print(json.dumps(record))
     return record
 
