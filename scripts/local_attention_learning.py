@@ -32,6 +32,32 @@ attention.  Dense arms should solve it; the local arm should sit near
 chance (0.25).  A measured dense-vs-local gap here validates that the
 texture-task tie is a real "no cost", not instrument blindness.
 
+``--task relational-v2`` is the round-5 instrument (VERDICT r4 item 3:
+the v1 control was marginal — dense finals 0.49 ± 0.22, one seed in
+three never learned in 16 epochs).  Same cross-site structure, easier
+per-site features: the two corner markers are luminance-matched SOLID
+COLORS (red vs blue — per-site identification is linearly trivial) and
+the label is the binary XOR of the two color bits (chance 0.5).  The
+relation stays additively unreadable (pooled feature = f(p1) + g(p2);
+XOR is not linear in that sum), so pure-local arms must stay at
+chance, while dense should saturate in a few epochs — the reliable
+discriminator every schedule A/B needs.  Acceptance bar (VERDICT):
+dense finals >= 0.9 with std <= 0.05 within <= 10 epochs.
+
+``--task texture-hard`` is a NON-SATURATING texture regime (VERDICT r4
+item 2: the merge-on default was validated only at the texture-task
+ceiling, where a zero delta is uninformative): the per-class sinusoid
+templates of the standard synthetic set at 0.12 amplitude under 0.15
+noise, so final accuracy lands mid-range and a merge-induced accuracy
+cost is resolvable.
+
+Arms are IMPL[+mergeR] specs: a comma-joined impl list is a per-layer
+schedule whose length sets that arm's depth (``local,local,local,xla``
+= the shipped hybrid shape with a dense-XLA global layer); a
+``+merge0.5`` suffix enables ``curve_pair_merge_topk`` with
+merge_layers=(1,) at that ratio for that arm.  Results are written
+incrementally after every arm so a truncated run still yields data.
+
 Whole epochs run device-side (lax.scan over index batches into the
 device-resident uint8 dataset) — the remote chip costs ~40 ms per
 dispatch, so per-step dispatch would dominate.
@@ -62,8 +88,23 @@ def main(argv=None):
     p.add_argument("--eval-samples", type=int, default=1024)
     p.add_argument("--impls", nargs="+",
                    default=["local", "pallas", "xla"])
-    p.add_argument("--task", choices=["texture", "relational"],
+    p.add_argument("--task",
+                   choices=["texture", "relational", "relational-v2",
+                            "texture-hard"],
                    default="texture")
+    p.add_argument("--patch-size", type=int, default=4)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--depth", type=int, default=2,
+                   help="depth for single-impl arms; schedule arms "
+                        "(comma-joined) use their own entry count")
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--mlp-dim", type=int, default=256)
+    p.add_argument("--dim-head", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--texture-amp", type=float, default=0.12)
+    p.add_argument("--texture-noise", type=float, default=0.15)
+    p.add_argument("--model-dtype", default=None,
+                   help="e.g. bfloat16 for the 16k preset geometry")
     p.add_argument("--platform", default=None)
     p.add_argument("--out", default="results/local_attention_learning.json")
     args = p.parse_args(argv)
@@ -109,10 +150,62 @@ def main(argv=None):
             (np.clip(imgs, 0, 1) * 255).astype(np.uint8), labels, 4
         )
 
+    def relational_v2_dataset(n, hw, seed):
+        """Round-5 instrument: luminance-matched solid-color corner
+        markers (red vs blue), label = color-bit XOR, chance 0.5.
+        Per-site identification is trivial; only the cross-site
+        relation carries label information (marginals uniform)."""
+        rng = np.random.default_rng(seed)
+        p1 = rng.integers(0, 2, size=n)
+        p2 = rng.integers(0, 2, size=n)
+        labels = (p1 ^ p2).astype(np.int32)
+        m = max(hw // 4, 8)
+        # same per-channel energy either way: no pooled-brightness leak
+        colors = np.asarray(
+            [[0.9, 0.2, 0.2], [0.2, 0.2, 0.9]], np.float32
+        )
+        imgs = np.full((n, hw, hw, 3), 0.5, np.float32)
+        imgs[:, :m, :m, :] = colors[p1][:, None, None, :]
+        imgs[:, -m:, -m:, :] = colors[p2][:, None, None, :]
+        imgs += rng.normal(0, 0.05, imgs.shape).astype(np.float32)
+        return Dataset(
+            (np.clip(imgs, 0, 1) * 255).astype(np.uint8), labels, 2
+        )
+
+    def texture_hard_dataset(n, hw, seed, num_classes=10):
+        """Non-saturating texture regime: the synthetic per-class
+        sinusoid templates at --texture-amp amplitude under
+        --texture-noise noise (the standard set uses 0.5/0.1 and every
+        arm saturates at 1.0).  More tokens = more evidence, so the
+        amplitude must shrink with image size to stay off-ceiling —
+        calibrate at the target geometry."""
+        rng = np.random.default_rng(seed)
+        labels = rng.integers(0, num_classes, size=n).astype(np.int32)
+        yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32) / hw
+        templates = np.stack([
+            np.sin(2 * np.pi * ((k + 1) * xx + k * yy))[..., None]
+            * np.ones((1, 1, 3), np.float32)
+            for k in range(num_classes)
+        ])
+        imgs = templates[labels] * args.texture_amp + 0.5
+        imgs += rng.normal(
+            0, args.texture_noise, imgs.shape
+        ).astype(np.float32)
+        return Dataset(
+            (np.clip(imgs, 0, 1) * 255).astype(np.uint8), labels,
+            num_classes,
+        )
+
     hw = args.image_size
     if args.task == "relational":
         train_ds = relational_dataset(args.train_samples, hw, seed=0)
         test_ds = relational_dataset(args.eval_samples, hw, seed=1)
+    elif args.task == "relational-v2":
+        train_ds = relational_v2_dataset(args.train_samples, hw, seed=0)
+        test_ds = relational_v2_dataset(args.eval_samples, hw, seed=1)
+    elif args.task == "texture-hard":
+        train_ds = texture_hard_dataset(args.train_samples, hw, seed=0)
+        test_ds = texture_hard_dataset(args.eval_samples, hw, seed=1)
     else:
         train_ds = synthetic_dataset(n=args.train_samples, hw=hw, seed=0)
         test_ds = synthetic_dataset(n=args.eval_samples, hw=hw, seed=1)
@@ -135,19 +228,33 @@ def main(argv=None):
     n_eval = n_test // bs
     results = {}
 
-    for impl in args.impls:
-        # 'local,xla' = a per-layer hybrid schedule (one entry per
-        # layer, depth 2 here): the relational control's fix — sparse
-        # global layers restore the cross-site routing pure-local
-        # provably lacks (models/simple_vit._impl_schedule)
+    for arm in args.impls:
+        # arm spec: IMPL[+mergeR].  'local,xla' = a per-layer hybrid
+        # schedule (one entry per layer; entry count sets that arm's
+        # depth): the relational control's fix — sparse global layers
+        # restore the cross-site routing pure-local provably lacks
+        # (models/simple_vit._impl_schedule).  '+merge0.5' enables
+        # curve_pair_merge_topk at layer 1 for that arm (VERDICT r4
+        # item 2: validate the merge-on default off-ceiling).
+        impl, merge_ratio = arm, None
+        if "+merge" in arm:
+            impl, mr = arm.split("+merge", 1)
+            merge_ratio = float(mr)
         attn_impl = tuple(impl.split(",")) if "," in impl else impl
+        depth = len(attn_impl) if isinstance(attn_impl, tuple) \
+            else args.depth
         model = CurveViT(
-            curve="hilbert", image_size=hw, patch_size=4,
+            curve="hilbert", image_size=hw, patch_size=args.patch_size,
             num_classes=n_classes,
-            dim=128, depth=2, heads=4, mlp_dim=256, dim_head=32,
+            dim=args.dim, depth=depth, heads=args.heads,
+            mlp_dim=args.mlp_dim, dim_head=args.dim_head,
             attn_impl=attn_impl,
+            merge_layers=(1,) if merge_ratio else (),
+            merge_ratio=merge_ratio or 0.5,
+            dtype=(jnp.dtype(args.model_dtype)
+                   if args.model_dtype else None),
         )
-        sched = warmup_cosine(3e-4, spe, total)
+        sched = warmup_cosine(args.lr, spe, total)
         tx = make_optimizer(sched)
         step = make_train_step(num_classes=n_classes, use_mixing=False,
                                schedule=sched)
@@ -199,65 +306,109 @@ def main(argv=None):
                 )
                 acc = float(eval_all(state, eidx, imgs_te, lbl_te))
                 accs.append(acc)
-                print(f"{impl} seed={seed} epoch={ep + 1} "
+                print(f"{arm} seed={seed} epoch={ep + 1} "
                       f"loss={float(loss):.4f} acc={acc:.4f}", flush=True)
             per_seed.append(accs)
         arr = np.asarray(per_seed)
-        results[impl] = {
+        results[arm] = {
             "per_seed": arr.tolist(),
             "mean": arr.mean(axis=0).tolist(),
             "std": arr.std(axis=0).tolist(),
         }
+        _write(args, results, partial=True)  # survive truncation
 
+    summary = _write(args, results, partial=False,
+                     extra=dict(batch=bs, steps_per_epoch=spe,
+                                train_samples=n_train,
+                                eval_samples=n_eval * bs, hw=hw,
+                                n_classes=n_classes))
+    print(json.dumps(summary))
+
+
+_DENSE = {"xla", "xla_bf16", "pallas", "auto"}
+
+
+def _dense_baseline(results):
+    """First arm whose every schedule entry is exact dense math and
+    which carries no token merging — the delta reference."""
+    for arm in results:
+        impl = arm.split("+merge")[0]
+        if all(e in _DENSE for e in impl.split(",")):
+            return arm
+    return None
+
+
+def _write(args, results, partial, extra=None):
     summary = {
-        impl: {
+        arm: {
             "final_mean": r["mean"][-1],
             "final_std": r["std"][-1],
             "best_mean": max(r["mean"]),
         }
-        for impl, r in results.items()
+        for arm, r in results.items()
     }
-    # Pairwise deltas vs the dense-XLA arm (the exact-math reference):
-    # a windowing cost shows up as local-minus-dense < -(combined std).
-    if "xla" in results:
-        base = np.asarray(results["xla"]["per_seed"])[:, -1]
-        for impl, r in results.items():
-            if impl == "xla":
+    # Pairwise deltas vs the dense control arm (exact-math reference):
+    # a windowing/merge cost shows up as arm-minus-dense < -(combined
+    # std).
+    base_arm = _dense_baseline(results)
+    if base_arm is not None:
+        base = np.asarray(results[base_arm]["per_seed"])[:, -1]
+        for arm, r in results.items():
+            if arm == base_arm:
                 continue
-            arm = np.asarray(r["per_seed"])[:, -1]
-            summary[impl]["final_delta_vs_xla"] = float(
-                arm.mean() - base.mean()
+            vals = np.asarray(r["per_seed"])[:, -1]
+            summary[arm]["final_delta_vs_dense"] = float(
+                vals.mean() - base.mean()
             )
             # ddof=1 needs >=2 seeds; emit JSON-safe null, not NaN
-            summary[impl]["delta_std"] = float(
-                np.sqrt(arm.var(ddof=1) / len(arm)
+            summary[arm]["delta_std"] = float(
+                np.sqrt(vals.var(ddof=1) / len(vals)
                         + base.var(ddof=1) / len(base))
-            ) if len(arm) > 1 and len(base) > 1 else None
+            ) if len(vals) > 1 and len(base) > 1 else None
+    hw = args.image_size
+    chance = {"relational": 0.25, "relational-v2": 0.5}.get(
+        args.task, None
+    )
+    task_desc = {
+        "relational": "relational positive control: two corner "
+                      "markers, label=(p1-p2)%4, chance=0.25",
+        "relational-v2": "round-5 instrument: solid-color corner "
+                         "markers, label=color XOR, chance=0.5 "
+                         "(module docstring)",
+        "texture-hard": "non-saturating texture regime (0.12 "
+                        "amplitude / 0.15 noise sinusoid classes)",
+        "texture": "synthetic class-separable (CIFAR-10 absent; see "
+                   "compare_curves_synthetic.json)",
+    }[args.task]
     out = {
         "protocol": {
-            "model": f"CurveViT hilbert {hw}x{hw}/p4 "
-                     f"({(hw // 4) ** 2} tokens) d128/depth2/h4",
+            "model": f"CurveViT hilbert {hw}x{hw}/p{args.patch_size} "
+                     f"({(hw // args.patch_size) ** 2} tokens) "
+                     f"d{args.dim}/h{args.heads}/mlp{args.mlp_dim} "
+                     f"(depth per arm: schedule length, else "
+                     f"{args.depth})",
             "local_window": "block=128 halo=1 (ops/local_attention.py "
                             "defaults)",
             "task": args.task,
-            "dataset": (
-                "relational positive control: two corner markers, "
-                "label=(p1-p2)%4, chance=0.25 (see module docstring)"
-                if args.task == "relational" else
-                "synthetic class-separable (CIFAR-10 absent; "
-                "see compare_curves_synthetic.json)"
-            ),
+            "dataset": task_desc,
+            "chance": chance,
+            "lr": args.lr,
+            **({"texture_amp": args.texture_amp,
+                "texture_noise": args.texture_noise}
+               if args.task == "texture-hard" else {}),
+            "model_dtype": args.model_dtype,
+            "dense_baseline_arm": base_arm,
             "seeds": args.seeds, "epochs": args.epochs,
-            "batch": bs, "steps_per_epoch": spe,
-            "train_samples": n_train,
-            "eval_samples": n_eval * bs,
+            "partial": partial,
+            **(extra or {}),
         },
         "results": results,
         "summary": summary,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps(summary))
+        f.write("\n")
+    return summary
 
 
 if __name__ == "__main__":
