@@ -106,11 +106,14 @@ PRESETS = {
     # (results/local_attention_relational.json) proved pure-local
     # attention is pinned at chance on two-site relations, so any task
     # with long-range structure needs at least one global layer.
-    # Status of the LEARNING claim: architectural capability only so
-    # far — the round-4 depth-2 control (r4_hybrid_relational.json)
-    # did NOT un-pin from chance in 16 epochs; the round-5 relational
-    # study (results/r5_relational_v2.json) adjudicates whether the
-    # sparse global layer delivers the routing in practice.
+    # LEARNING claim: MEASURED POSITIVE in round 5
+    # (results/r5_relational_v2.json, relational-v2 instrument): on a
+    # cross-site relation where pure-local attention stays pinned at
+    # chance (0.456 +/- 0.031, chance 0.5), the local/global hybrid
+    # solves the task from epoch 1 in every seed (1.000, exactly
+    # tracking dense).  The round-4 negative
+    # (r4_hybrid_relational.json) was an instrument artifact — the v1
+    # control was so hard dense itself only emerged at epoch 11.
     "longctx-16k-hybrid": dict(
         model="curvevit", curve="hilbert", img_size=128, patch_size=1,
         embed_dim=384, depth=4, n_heads=6, mlp_dim=1536,
