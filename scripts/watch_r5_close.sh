@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-5 closing validation: waits for the learning chains, then runs
+# the on-chip hardware suite and the closing benches (now with the MFU
+# line) so the round ends with fresh production-path evidence.
+#
+# Usage: nohup bash scripts/watch_r5_close.sh > /tmp/r5_close_chain.log 2>&1 &
+set -u
+cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
+
+for pidfile in /tmp/r5_learning.pid /tmp/r5_d8.pid; do
+  while [ -f "$pidfile" ] && kill -0 "$(cat "$pidfile")" 2>/dev/null; do
+    echo "waiting on $pidfile $(date)"
+    sleep 300
+  done
+done
+# The d8 watcher may not have created its pid file yet when the main
+# chain finishes; give it a beat, then re-check.
+sleep 60
+while [ -f /tmp/r5_d8.pid ] && kill -0 "$(cat /tmp/r5_d8.pid)" 2>/dev/null; do
+  echo "waiting on d8 $(date)"
+  sleep 300
+done
+echo "chains clear $(date)"
+echo $$ > /tmp/r5_close.pid
+
+timeout 3600 python bench.py > /tmp/r5_bench_infer.log 2>&1
+echo "bench infer exit=$? $(date)"
+timeout 3600 python bench.py --train > /tmp/r5_bench_train.log 2>&1
+echo "bench train exit=$? $(date)"
+
+SFC_VIT_TPU_TESTS=1 timeout 3600 python -m pytest \
+  tests/test_tpu_hardware.py -q > /tmp/r5_onchip_suite.log 2>&1
+echo "on-chip suite exit=$? $(date)"
+
+echo "r5 close DONE $(date)"
+rm -f /tmp/r5_close.pid
