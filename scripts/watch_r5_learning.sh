@@ -20,9 +20,11 @@
 # Stages run under a stall watchdog: the remote tunnel has been seen
 # hanging a session's HTTP call indefinitely (host idle, log frozen)
 # while fresh processes reach the chip fine — if a stage's log goes
-# stale for >15 min it is killed and retried once, with the retry
-# writing to OUT.try2.json so the first attempt's completed arms are
-# never overwritten.
+# stale it is killed and retried once, with the retry writing to
+# OUT.try2.json so the first attempt's completed arms are never
+# overwritten.  The staleness threshold is 45 min: remote 16k compiles
+# legitimately print nothing for 5-20 min (including between arms), so
+# hang detection must sit above that.
 #
 # Usage: nohup bash scripts/watch_r5_learning.sh > /tmp/r5_chain.log 2>&1 &
 set -u
@@ -63,11 +65,16 @@ run_stage() {
       > "$log" 2>&1 &
     pid=$!
     local deadline=$(( $(date +%s) + maxsec ))
+    local stale_lim
     while kill -0 $pid 2>/dev/null; do
       sleep 120
       now=$(date +%s)
       mt=$(stat -c %Y "$log" 2>/dev/null || echo "$now")
-      if [ $(( now - mt )) -gt 900 ]; then
+      # 45 min covers the longest observed remote 16k compile (which
+      # prints nothing, including between arms); anything staler is a
+      # tunnel hang.  Epoch steps themselves print every <=2 min.
+      stale_lim=2700
+      if [ $(( now - mt )) -gt $stale_lim ]; then
         echo "stage $name attempt $attempt STALLED (log stale "\
 "$(( now - mt ))s), killing $pid $(date)"
         kill $pid 2>/dev/null
