@@ -3,22 +3,22 @@
 # the on-chip hardware suite and the closing benches (now with the MFU
 # line) so the round ends with fresh production-path evidence.
 #
+# Ordering is by explicit log markers, not pid files: the first
+# version raced a chain restart window in which both pid files were
+# momentarily absent and started benching against the studies.
+#
 # Usage: nohup bash scripts/watch_r5_close.sh > /tmp/r5_close_chain.log 2>&1 &
 set -u
 cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
 
-for pidfile in /tmp/r5_learning.pid /tmp/r5_d8.pid; do
-  while [ -f "$pidfile" ] && kill -0 "$(cat "$pidfile")" 2>/dev/null; do
-    echo "waiting on $pidfile $(date)"
-    sleep 300
-  done
+until grep -q "r5 learning chain DONE" /tmp/r5_chain.log 2>/dev/null; do
+  echo "waiting on main chain $(date)"
+  sleep 300
 done
-# The d8 watcher may not have created its pid file yet when the main
-# chain finishes; give it a beat, then re-check.
-sleep 60
-while [ -f /tmp/r5_d8.pid ] && kill -0 "$(cat /tmp/r5_d8.pid)" 2>/dev/null; do
-  echo "waiting on d8 $(date)"
+until grep -q "stage D exit=" /tmp/r5_placement_depth8.log 2>/dev/null \
+      || grep -q "stage D exit=" /tmp/r5_d8_chain.log 2>/dev/null; do
+  echo "waiting on d8 stage $(date)"
   sleep 300
 done
 echo "chains clear $(date)"
