@@ -672,3 +672,23 @@ def test_bench_unrolled_and_ring_context(monkeypatch):
         "--attn-impl", "ring", "--dtype", "float32",
     ])
     assert rec["value"] > 0
+
+
+def test_bench_mfu_accounting():
+    """The MFU line (VERDICT r4 item 8): nominal ViT-B/16 GEMM FLOPs
+    must land on the published ~17.6 GFLOP/img figure, training must
+    count the conventional 3x, and the --quick smoke must NOT carry an
+    MFU field (its CPU numbers against a TPU envelope would be
+    nonsense)."""
+    import bench
+
+    fwd = bench._model_flops_per_image(quick=False, train=False)
+    # ViT-B/16 @224 is ~17.6 GMAC forward (the figure papers often
+    # label "FLOPs"); MFU accounting uses 2 FLOPs/MAC => ~35 GFLOP.
+    assert 33e9 < fwd < 37e9
+    assert bench._model_flops_per_image(quick=False, train=True) == 3.0 * fwd
+
+    rec = bench.main([
+        "--quick", "--iters", "2", "--unroll", "1", "--dtype", "float32",
+    ])
+    assert "mfu" not in rec and "tflops_per_sec" not in rec
