@@ -1,0 +1,115 @@
+"""Validate regenerated round-5 artifacts against the committed claims.
+
+The first round-5 session committed docs (README.md, RESULTS.md,
+registry.py) quoting numbers from artifacts that were lost to a VM
+restart before being committed.  `watch_r5_rebuild.sh` re-runs every
+stage; this script mechanically checks each regenerated artifact
+against the quoted numbers so the docs can be kept or corrected with
+no judgement calls.
+
+Usage: python scripts/r5_validate_claims.py [results/r5_*.json ...]
+(no args = every r5 artifact present).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+import numpy as np
+
+
+def _arm_line(arm, r):
+    mean = np.asarray(r["mean"])
+    return (f"  {arm:40s} ep1={mean[0]:.3f} final={mean[-1]:.3f}"
+            f"±{r['std'][-1]:.3f} best={mean.max():.3f}")
+
+
+def _check(label, ok):
+    print(f"  [{'PASS' if ok else 'FAIL'}] {label}")
+    return ok
+
+
+def validate(path):
+    with open(path) as f:
+        doc = json.load(f)
+    res, summ = doc["results"], doc["summary"]
+    proto = doc["protocol"]
+    print(f"\n== {path} (task={proto['task']}, "
+          f"partial={proto.get('partial')}) ==")
+    for arm, r in res.items():
+        print(_arm_line(arm, r))
+
+    ok = True
+    if path.endswith("r5_relational_v2.json"):
+        # Committed claims (RESULTS.md round-5 items 1 and 3):
+        #   dense 1.000±0.000 from epoch 1; hybrid local,xla 1.000 from
+        #   epoch 1 in every seed; pure local pinned at chance for all
+        #   20 epochs (quoted 0.456±0.031, best transient 0.58).
+        d = res.get("xla,xla")
+        h = res.get("local,xla")
+        l = res.get("local,local")
+        if d:
+            ok &= _check("dense final >= 0.95",
+                         d["mean"][-1] >= 0.95)
+            ok &= _check("dense emerges by epoch 10 (instrument bar: "
+                         ">=0.9, std<=0.05)",
+                         max(d["mean"][:10]) >= 0.9
+                         and d["std"][-1] <= 0.05)
+        if h:
+            ok &= _check("hybrid local,xla final >= 0.95 (tracks dense)",
+                         h["mean"][-1] >= 0.95)
+            ok &= _check("hybrid un-pins every seed (min seed final > 0.8)",
+                         min(s[-1] for s in h["per_seed"]) > 0.8)
+        if l:
+            best = max(max(s) for s in l["per_seed"])
+            ok &= _check(f"pure local pinned near chance 0.5 "
+                         f"(final {l['mean'][-1]:.3f}, best any-seed "
+                         f"{best:.3f} <= 0.65)",
+                         l["mean"][-1] <= 0.6 and best <= 0.65)
+        strict = (d and abs(d["mean"][0] - 1.0) < 0.02
+                  and h and abs(h["mean"][0] - 1.0) < 0.02)
+        print(f"  quoted-strength reproduction (1.000 from epoch 1): "
+              f"{'yes' if strict else 'NO - soften docs to the rerun numbers'}")
+    elif "merge" in path:
+        # VERDICT r4 item 2: does merge_ratio=0.5 at layer 1 cost
+        # accuracy off the ceiling?  Flag a loss beyond combined noise.
+        for arm, s in summ.items():
+            dlt, ds = s.get("final_delta_vs_dense"), s.get("delta_std")
+            if dlt is None:
+                continue
+            lim = 2 * ds if ds else 0.05
+            ok &= _check(f"{arm}: delta {dlt:+.3f} within noise "
+                         f"(|d| <= {lim:.3f})", abs(dlt) <= lim)
+    elif "preset_envelope" in path:
+        # VERDICT r4 item 4: accuracy at the shipped 16k geometry.
+        for arm, s in summ.items():
+            print(f"  {arm:40s} summary final={s['final_mean']:.3f} "
+                  f"delta={s.get('final_delta_vs_dense')}")
+        hyb = next((s for a, s in summ.items()
+                    if a.startswith("local,local,local,auto")
+                    and "+merge" not in a), None)
+        if hyb and hyb.get("final_delta_vs_dense") is not None:
+            ok &= _check("hybrid tracks flash dense at preset geometry "
+                         "(delta >= -0.05)",
+                         hyb["final_delta_vs_dense"] >= -0.05)
+    elif "placement" in path or "part2" in path:
+        order = sorted(summ.items(), key=lambda kv: -kv[1]["final_mean"])
+        print("  ranking: " + " > ".join(
+            f"{a}({s['final_mean']:.2f})" for a, s in order))
+    return ok
+
+
+def main():
+    paths = sys.argv[1:] or sorted(glob.glob("results/r5_*.json"))
+    if not paths:
+        print("no r5 artifacts present yet")
+        return 1
+    all_ok = all([validate(p) for p in paths])
+    print(f"\noverall: {'ALL CLAIMS HOLD' if all_ok else 'CLAIM MISMATCH - fix docs'}")
+    return 0 if all_ok else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
