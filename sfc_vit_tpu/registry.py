@@ -95,6 +95,12 @@ PRESETS = {
     # training LOSS at batch <= 8 (results/r4_longctx_tune.json: the
     # recomputed attention forwards, with activations nowhere near
     # HBM) — turn it on only when a bigger batch/depth actually OOMs.
+    # Merge-on default validated OFF the ceiling in round 5 (VERDICT
+    # r4 item 2): merge0.5 costs -0.8% +/- 1.1% on the non-saturating
+    # texture-hard control (results/r5_merge_texture_4k.json) and
+    # 0.000 on the cross-site relational-v2 control
+    # (results/r5_merge_relational_4k.json — merging does NOT destroy
+    # the two-site signal).
     "longctx-16k": dict(model="curvevit", curve="hilbert", img_size=128,
                         patch_size=1, embed_dim=384, depth=4, n_heads=6,
                         mlp_dim=1536, dtype="bfloat16",
