@@ -106,6 +106,17 @@ def main(argv=None):
     p.add_argument("--model-dtype", default=None,
                    help="e.g. bfloat16 for the 16k preset geometry")
     p.add_argument("--platform", default=None)
+    p.add_argument("--steps-per-call", type=int, default=None,
+                   help="split each epoch's device-side step scan into "
+                        "chunks of this many steps (must divide "
+                        "--steps-per-epoch). The remote tunnel KILLS "
+                        "the TPU worker on single executable calls "
+                        "beyond ~1 minute (measured round 5: a "
+                        "128-step 16k-token epoch at ~0.8 s/step "
+                        "crashed 3/3 runs at the first readback, a "
+                        "16-step call passed) — 16k runs need ~16 "
+                        "steps/call. Device work is identical; one "
+                        "~40 ms dispatch is added per chunk.")
     p.add_argument("--out", default="results/local_attention_learning.json")
     args = p.parse_args(argv)
 
@@ -300,10 +311,23 @@ def main(argv=None):
                 else:  # sample with replacement past one full pass
                     order = rng.choice(n_train, size=need)
                 idxs = jnp.asarray(order.reshape(spe, bs))
-                state, loss = train_epoch(
-                    state, idxs, jax.random.key(seed * 1000 + ep),
-                    imgs_tr, lbl_tr,
-                )
+                spc = args.steps_per_call or spe
+                if spe % spc:
+                    raise SystemExit(
+                        f"--steps-per-call {spc} must divide "
+                        f"--steps-per-epoch {spe}")
+                ekey = jax.random.key(seed * 1000 + ep)
+                losses = []
+                # chunked host loop: same jitted executable reused for
+                # every chunk (shape (spc, bs)); keeps each device call
+                # under the tunnel's ~1 min kill threshold
+                for c in range(spe // spc):
+                    state, loss = train_epoch(
+                        state, idxs[c * spc:(c + 1) * spc], ekey,
+                        imgs_tr, lbl_tr,
+                    )
+                    losses.append(loss)
+                loss = jnp.stack(losses).mean()
                 acc = float(eval_all(state, eidx, imgs_te, lbl_te))
                 accs.append(acc)
                 print(f"{arm} seed={seed} epoch={ep + 1} "

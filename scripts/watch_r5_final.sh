@@ -54,7 +54,7 @@ for attempt in 1 2 3; do
     --dim 384 --depth 4 --heads 6 --mlp-dim 1536 --dim-head 64 \
     --model-dtype bfloat16 \
     --seeds 3 --epochs 8 --steps-per-epoch 128 --batch-size 8 \
-    --eval-samples 512 \
+    --steps-per-call 16 --eval-samples 512 \
     --impls auto local,local,local,auto \
             local,local,local,auto+merge0.5 local \
     --out "$dest" > /tmp/r5_preset_envelope.log 2>&1
