@@ -118,6 +118,11 @@ def main(argv=None):
                         "steps/call. Device work is identical; one "
                         "~40 ms dispatch is added per chunk.")
     p.add_argument("--out", default="results/local_attention_learning.json")
+    p.add_argument("--resume-from", default=None,
+                   help="path to a partial artifact from an aborted "
+                        "run: arms already complete there (full "
+                        "seeds x epochs) are copied instead of re-run, "
+                        "making tunnel-hang retries cheap")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -238,8 +243,22 @@ def main(argv=None):
     total = args.epochs * spe
     n_eval = n_test // bs
     results = {}
+    prior = {}
+    if args.resume_from:
+        try:
+            with open(args.resume_from) as f:
+                prior = json.load(f).get("results", {})
+        except (OSError, ValueError) as e:
+            print(f"resume-from unreadable ({e}); running all arms")
 
     for arm in args.impls:
+        prev = prior.get(arm)
+        if (prev and len(prev["per_seed"]) == args.seeds
+                and len(prev["per_seed"][0]) == args.epochs):
+            print(f"{arm}: complete in {args.resume_from}, copying")
+            results[arm] = prev
+            _write(args, results, partial=True)
+            continue
         # arm spec: IMPL[+mergeR].  'local,xla' = a per-layer hybrid
         # schedule (one entry per layer; entry count sets that arm's
         # depth): the relational control's fix — sparse global layers
